@@ -1,0 +1,148 @@
+"""Data pipeline tests on a synthetic mini-dataset
+(spec: reference utils/datasets.py:404-798)."""
+
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from yolosomi_tpu.data import augment as A
+from yolosomi_tpu.data.datasets import (
+    DataLoader,
+    DetectionDataset,
+    LoadImages,
+    img2label_paths,
+    list_images,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """8 synthetic images with one box each."""
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        h, w = 240 + 16 * i, 320
+        im = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.rectangle(im, (w // 4, h // 4), (w // 2, h // 2), (255, 255, 255), -1)
+        cv2.imwrite(str(root / "images" / f"im{i}.jpg"), im)
+        # one centered box label
+        with open(root / "labels" / f"im{i}.txt", "w") as f:
+            f.write(f"{i % 3} 0.375 0.375 0.25 0.25\n")
+    return root
+
+
+def test_img2label_paths():
+    out = img2label_paths([f"{os.sep}data{os.sep}images{os.sep}a.jpg"])
+    assert out == [f"{os.sep}data{os.sep}labels{os.sep}a.txt"]
+
+
+def test_list_images(mini_dataset):
+    files = list_images(str(mini_dataset / "images"))
+    assert len(files) == 8
+
+
+def test_dataset_loads_and_caches(mini_dataset):
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=4)
+    assert len(ds) == 8
+    assert all(len(l) == 1 for l in ds.labels)
+    # cache file created; second construction hits it
+    ds2 = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=4)
+    assert len(ds2) == 8
+
+
+def test_getitem_val_mode(mini_dataset):
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=4)
+    img, labels, path, shapes = ds[0]
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    assert labels.shape[1] == 5
+    assert shapes is not None
+    # normalized labels in [0, 1]
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+def test_getitem_train_mosaic(mini_dataset):
+    hyp = {"mosaic": 1.0, "mixup": 0.0, "degrees": 0, "translate": 0.1, "scale": 0.5,
+           "shear": 0, "perspective": 0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+           "flipud": 0, "fliplr": 0.5, "copy_paste": 0.0}
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=4, augment=True, hyp=hyp)
+    img, labels, _, shapes = ds[0]
+    # mosaic builds a 2s x 2s canvas, then random_perspective's border=-s/2
+    # crops back to s x s (reference: datasets.py:790-798)
+    assert img.shape == (128, 128, 3)
+    assert shapes is None
+
+
+def test_dataloader_fixed_shapes(mini_dataset):
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=4, max_labels=16)
+    loader = DataLoader(ds, 4, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    for images, targets, paths, shapes in batches:
+        assert images.shape == (4, 128, 128, 3)
+        assert targets.shape == (4, 16, 5)
+        assert (targets[:, :, 0] >= -1).all()
+
+
+def test_dataloader_wraps_partial_batch(mini_dataset):
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=128, batch_size=3, max_labels=8)
+    loader = DataLoader(ds, 3, shuffle=False)
+    shapes = [b[0].shape for b in loader]
+    assert all(s == (3, 128, 128, 3) for s in shapes)
+
+
+def test_load_images_inference(mini_dataset):
+    li = LoadImages(str(mini_dataset / "images"), img_size=96, stride=32)
+    path, img, im0, cap = next(iter(li))
+    assert img.shape[0] % 32 == 0 and img.shape[1] % 32 == 0
+    assert im0.ndim == 3
+
+
+def test_letterbox_geometry():
+    im = np.zeros((200, 400, 3), np.uint8)
+    out, ratio, (dw, dh) = A.letterbox(im, (256, 256), auto=False)
+    assert out.shape == (256, 256, 3)
+    assert abs(ratio[0] - 0.64) < 1e-6
+    assert dh > 0 and dw == 0
+
+
+def test_random_perspective_identity_keeps_boxes():
+    im = np.zeros((128, 128, 3), np.uint8)
+    labels = np.array([[0, 32, 32, 96, 96]], np.float32)
+    out, lab = A.random_perspective(im, labels.copy(), degrees=0, translate=0, scale=0, shear=0)
+    assert lab.shape == (1, 5)
+    np.testing.assert_allclose(lab[0, 1:], labels[0, 1:], atol=1.0)
+
+
+def test_hsv_preserves_shape_dtype():
+    im = np.random.randint(0, 255, (64, 64, 3), np.uint8)
+    out = A.augment_hsv(im.copy(), 0.015, 0.7, 0.4)
+    assert out.shape == im.shape and out.dtype == np.uint8
+
+
+def test_copy_reduce_paste_adds_instances():
+    np.random.seed(0)
+    import random as _r
+
+    _r.seed(0)
+    im = np.random.randint(0, 255, (200, 200, 3), np.uint8)
+    labels = np.array([[0, 20, 20, 80, 80]], np.float32)
+    out, lab = A.copy_reduce_paste(im.copy(), labels.copy(), p=1.0)
+    assert len(lab) >= len(labels)  # paste may fail by overlap, never shrink
+    if len(lab) > 1:
+        w = lab[1, 3] - lab[1, 1]
+        assert w <= 32 + 1  # reduced to threshold width
+
+
+def test_mixup_blends():
+    im1 = np.zeros((32, 32, 3), np.uint8)
+    im2 = np.full((32, 32, 3), 255, np.uint8)
+    l1 = np.array([[0, 1, 1, 5, 5]], np.float32)
+    l2 = np.array([[1, 2, 2, 6, 6]], np.float32)
+    out, lab = A.mixup(im1, l1, im2, l2)
+    assert lab.shape == (2, 5)
+    assert 0 < out.mean() < 255

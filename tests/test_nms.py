@@ -1,0 +1,122 @@
+"""NMS tests: greedy-keep parity with a trivial numpy reference
+(spec: reference utils/general.py:629-711 + torchvision greedy NMS)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yolosomi_tpu.ops.nms import non_max_suppression, soft_nms_scores
+
+
+def _ref_greedy_nms(boxes, scores, iou_thres):
+    """Sequential greedy NMS, the torchvision contract."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= 0:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (a + b - inter + 1e-7)
+        suppressed |= iou > iou_thres
+    return keep
+
+
+def _make_pred(boxes_xyxy, obj, cls_probs):
+    """Assemble a (1, N, 5+nc) decoded prediction row set."""
+    boxes = np.asarray(boxes_xyxy, np.float32)
+    xywh = np.stack(
+        [
+            (boxes[:, 0] + boxes[:, 2]) / 2,
+            (boxes[:, 1] + boxes[:, 3]) / 2,
+            boxes[:, 2] - boxes[:, 0],
+            boxes[:, 3] - boxes[:, 1],
+        ],
+        -1,
+    )
+    pred = np.concatenate([xywh, np.asarray(obj, np.float32)[:, None], np.asarray(cls_probs, np.float32)], -1)
+    return jnp.asarray(pred[None])
+
+
+def test_nms_suppresses_overlaps():
+    boxes = [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]]
+    obj = [0.9, 0.8, 0.7]
+    cls = [[1.0], [1.0], [1.0]]  # single class
+    out = np.asarray(non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, max_det=10, max_nms=16))
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 2  # box 1 suppressed by box 0
+    np.testing.assert_allclose(valid[0, :4], [0, 0, 10, 10], atol=1e-4)
+    np.testing.assert_allclose(valid[1, :4], [50, 50, 60, 60], atol=1e-4)
+
+
+def test_nms_class_offset_keeps_different_classes():
+    boxes = [[0, 0, 10, 10], [1, 1, 11, 11]]
+    obj = [0.9, 0.8]
+    cls = [[1.0, 0.0], [0.0, 1.0]]  # different classes, same location
+    out = np.asarray(non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, max_det=10, max_nms=16))
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 2  # per-class NMS keeps both
+    assert set(valid[:, 5].astype(int)) == {0, 1}
+
+
+def test_nms_agnostic_suppresses_across_classes():
+    boxes = [[0, 0, 10, 10], [1, 1, 11, 11]]
+    obj = [0.9, 0.8]
+    cls = [[1.0, 0.0], [0.0, 1.0]]
+    out = np.asarray(
+        non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, agnostic=True, max_det=10, max_nms=16)
+    )
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 1
+
+
+def test_nms_conf_threshold():
+    boxes = [[0, 0, 10, 10], [50, 50, 60, 60]]
+    obj = [0.9, 0.1]
+    cls = [[1.0], [1.0]]
+    out = np.asarray(non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, max_det=10, max_nms=16))
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 1  # 0.1*1.0 < 0.25 dropped
+
+
+def test_nms_matches_greedy_reference(rng):
+    n = 64
+    centers = rng.uniform(20, 200, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    keep_ref = _ref_greedy_nms(boxes, scores, 0.5)
+
+    cls = np.ones((n, 1), np.float32)
+    out = np.asarray(
+        non_max_suppression(_make_pred(boxes, scores, cls), 0.25, 0.5, max_det=64, max_nms=64)
+    )[0]
+    valid = out[out[:, 4] > 0]
+    ref_boxes = boxes[keep_ref]
+    assert len(valid) == len(keep_ref)
+    np.testing.assert_allclose(valid[:, :4], ref_boxes, atol=1e-3)
+
+
+def test_nms_multilabel():
+    boxes = [[0, 0, 10, 10]]
+    obj = [0.9]
+    cls = [[0.9, 0.8]]  # both classes above threshold
+    out = np.asarray(
+        non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, multi_label=True, max_det=10, max_nms=16)
+    )
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 2  # one detection per qualifying class
+
+
+def test_soft_nms_decays_overlaps():
+    boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [1.0, 1.0, 11.0, 11.0]])
+    scores = jnp.array([0.9, 0.8])
+    out = np.asarray(soft_nms_scores(boxes, scores, sigma=0.5, max_det=2))
+    assert out[0] == 0.9
+    assert 0 < out[1] < 0.8  # decayed, not removed

@@ -1,0 +1,105 @@
+"""SPMD data-parallel semantics on an 8-device virtual CPU mesh
+(the test pattern SURVEY.md §4 prescribes; replaces DDP integration tests).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.parallel.mesh import batch_sharding, create_mesh, replicate_tree, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual CPU devices"
+    return create_mesh(devices=jax.devices()[:8])
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+
+
+def test_shard_batch_places_on_data_axis(mesh):
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = shard_batch({"x": x}, mesh)["x"]
+    assert sharded.sharding.spec[0] == "data"
+    np.testing.assert_allclose(np.asarray(sharded), x)
+
+
+def test_global_mean_matches_host(mesh):
+    """A jitted global-batch mean over the sharded axis equals the host mean
+    (the property that makes BN stats SyncBN-equivalent)."""
+    x = np.random.default_rng(0).standard_normal((16, 8)).astype(np.float32)
+    xs = shard_batch({"x": x}, mesh)["x"]
+
+    @jax.jit
+    def mean(v):
+        return v.mean(axis=0)
+
+    np.testing.assert_allclose(np.asarray(mean(xs)), x.mean(0), rtol=1e-5)
+
+
+def test_data_parallel_grad_matches_single_device(mesh):
+    """Gradients of a sharded loss == single-device gradients (the DDP
+    all-reduce contract, reference train.py:266-267)."""
+    w = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
+    x = np.random.default_rng(2).standard_normal((16, 8)).astype(np.float32)
+    y = np.random.default_rng(3).standard_normal((16, 4)).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(jnp.asarray(w), jnp.asarray(x), jnp.asarray(y))
+
+    with mesh:
+        ws = replicate_tree(jnp.asarray(w), mesh)
+        xs = shard_batch({"x": x, "y": y}, mesh)
+        g_sharded = jax.jit(jax.grad(loss))(ws, xs["x"], xs["y"])
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-4, atol=1e-5)
+
+
+def test_tiny_model_train_step_on_mesh(mesh):
+    """Full train step (model fwd/bwd + optimizer + EMA) over the 8-device
+    mesh: loss finite, params update, state stays replicated."""
+    from flax import linen as nn
+
+    from yolosomi_tpu.engine.optim import make_optimizer
+    from yolosomi_tpu.engine.trainer import create_train_state, make_train_step
+    from yolosomi_tpu.utils.config import DEFAULT_HYP
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            return [x[:, ::2, ::2, :][..., None, :8][..., :1, :]]  # fake single-level head
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), train=False)
+
+    def loss_fn(preds, targets):
+        loss = sum(jnp.mean(p**2) for p in preds)
+        return loss, jnp.zeros(3)
+
+    optimizer = make_optimizer(dict(DEFAULT_HYP), nb=4, epochs=2, batch_size=8)
+    state = create_train_state(dict(variables), optimizer)
+    step = make_train_step(model, loss_fn, optimizer, mesh=mesh)
+
+    images = np.random.default_rng(0).standard_normal((8, 8, 8, 3)).astype(np.float32)
+    targets = np.zeros((8, 4, 5), np.float32)
+    # snapshot before the step: the step donates its input state buffers
+    before = jax.tree_util.tree_leaves(jax.device_get(variables["params"]))
+
+    with mesh:
+        state = replicate_tree(state, mesh)
+        batch = shard_batch({"images": images, "targets": targets}, mesh)
+        new_state, metrics = step(state, batch["images"], batch["targets"])
+
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+    assert int(new_state.step) == 1
+    assert int(new_state.ema.updates) == 1

@@ -1,0 +1,240 @@
+"""Training CLI (counterpart of reference train.py).
+
+Full loop: checkpoint restore/transfer, 3-group optimizer with one-cycle
+LR + warmup (inside the jitted step), EMA, data-parallel sharding over a
+jax Mesh (replacing DDP/NCCL, reference train.py:422-429), per-epoch
+validation with EMA weights, best/last checkpointing, early stopping.
+
+Reference defects NOT reproduced (SURVEY.md §0): CUDA_VISIBLE_DEVICES
+pinning (train.py:55), forced Adam (train.py:134-136), wandb force-off
+(train.py:80). The dead RepulsionLoss wiring is live here via --rep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import val as validate
+from yolosomi_tpu.data.datasets import DataLoader, DetectionDataset
+from yolosomi_tpu.engine.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+from yolosomi_tpu.engine.ema import EarlyStopping
+from yolosomi_tpu.engine.optim import make_optimizer
+from yolosomi_tpu.engine.runner import Runner
+from yolosomi_tpu.engine.trainer import (
+    TrainState,
+    create_train_state,
+    ema_variables,
+    make_train_step,
+)
+from yolosomi_tpu.losses import ComputeLoss
+from yolosomi_tpu.models.yolo import build_model, init_model
+from yolosomi_tpu.parallel.mesh import create_mesh, replicate_tree, shard_batch
+from yolosomi_tpu.utils.config import (
+    find_config,
+    load_data_cfg,
+    load_hyp,
+    load_model_cfg,
+    save_yaml,
+)
+from yolosomi_tpu.utils.general import LOGGER, check_img_size, increment_path
+from yolosomi_tpu.utils.metrics import fitness
+
+
+def train(hyp: dict, opt) -> float:
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
+    (save_dir / "weights").mkdir(parents=True, exist_ok=True)
+    last, best = save_dir / "weights" / "last.ckpt", save_dir / "weights" / "best.ckpt"
+    save_yaml(save_dir / "hyp.yaml", hyp)
+    save_yaml(save_dir / "opt.yaml", vars(opt))
+
+    data_dict = load_data_cfg(find_config(opt.data, "data"))
+    nc = 1 if opt.single_cls else int(data_dict["nc"])
+    names = data_dict.get("names", [str(i) for i in range(nc)])
+
+    cfg = load_model_cfg(find_config(opt.cfg))
+    dtype = jnp.bfloat16 if not opt.no_bf16 else jnp.float32
+    model, meta = build_model(cfg, nc=nc, dtype=dtype)
+    meta.names = names
+    imgsz = check_img_size(opt.imgsz, s=int(max(meta.strides)))
+
+    # loss gains auto-rescale (reference: train.py:211-214)
+    nl = meta.nl
+    hyp = dict(hyp)
+    hyp["box"] *= 3.0 / nl
+    hyp["cls"] *= nc / 80.0 * 3.0 / nl
+    hyp["obj"] *= (imgsz / 640) ** 2 * 3.0 / nl
+
+    train_ds = DetectionDataset(
+        data_dict["train"], img_size=imgsz, batch_size=opt.batch_size, augment=True,
+        hyp=hyp, rect=opt.rect, stride=int(max(meta.strides)), max_labels=opt.max_labels,
+    )
+    train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True)
+    nb = len(train_loader)
+
+    # autoanchor (reference: train.py:203-204, autoanchor.py:25)
+    if not opt.noautoanchor:
+        from yolosomi_tpu.utils.autoanchor import check_anchors
+
+        new_anchors = check_anchors(train_ds, meta, thr=hyp["anchor_t"], imgsz=imgsz, kmean=opt.kmean)
+        if new_anchors is not None:
+            model, meta = build_model(cfg, nc=nc, anchors=new_anchors.tolist(), dtype=dtype)
+            meta.names = names
+
+    variables = init_model(model, meta, rng=jax.random.PRNGKey(opt.seed), imgsz=min(imgsz, 256))
+
+    start_epoch, best_fitness = 0, 0.0
+    if opt.weights and Path(opt.weights).exists():
+        ckpt = load_checkpoint(opt.weights)
+        # transfer-learn: intersect by tree path + shape (reference:
+        # train.py:102-108 intersect_dicts)
+        flat_new = dict(jax.tree_util.tree_flatten_with_path(variables["params"])[0])
+        flat_old = dict(jax.tree_util.tree_flatten_with_path({"p": ckpt["params"]})[0])
+        loaded = 0
+        merged = {}
+        for k, v in flat_new.items():
+            ko = tuple([jax.tree_util.DictKey("p")] + list(k))
+            if ko in flat_old and flat_old[ko].shape == v.shape:
+                merged[k] = jnp.asarray(flat_old[ko])
+                loaded += 1
+            else:
+                merged[k] = v
+        treedef = jax.tree_util.tree_structure(variables["params"])
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_unflatten(
+            treedef, [merged[k] for k, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]]
+        )
+        LOGGER.info(f"transferred {loaded}/{len(flat_new)} params from {opt.weights}")
+        if opt.resume:
+            start_epoch = int(ckpt.get("epoch", -1)) + 1
+            best_fitness = float(ckpt.get("best_fitness", 0.0))
+
+    optimizer = make_optimizer(
+        hyp, nb=nb, epochs=opt.epochs, batch_size=opt.batch_size, adam=opt.adam, linear_lr=opt.linear_lr
+    )
+    state = create_train_state(dict(variables), optimizer)
+
+    loss_fn = ComputeLoss(meta, hyp)
+    loss_fn.rep = opt.rep
+
+    mesh = create_mesh()
+    train_step = make_train_step(model, loss_fn, optimizer, mesh=mesh)
+    with mesh:
+        state = replicate_tree(state, mesh)
+
+    stopper = EarlyStopping(patience=opt.patience)
+    LOGGER.info(
+        f"Image sizes {imgsz} train/val, {len(train_ds)} images, {nb} batches/epoch, "
+        f"{jax.device_count()} device(s). Starting training for {opt.epochs} epochs..."
+    )
+
+    val_runner = Runner(opt.cfg, None, nc=nc, dtype=dtype, imgsz=imgsz)
+    val_runner.model, val_runner.meta = model, meta
+    results_file = save_dir / "results.csv"
+
+    t0 = time.time()
+    final_epoch = start_epoch
+    for epoch in range(start_epoch, opt.epochs):
+        final_epoch = epoch
+        mloss = np.zeros(3)
+        t_ep = time.time()
+        with mesh:
+            for i, (images, targets, _, _) in enumerate(train_loader):
+                batch = shard_batch(
+                    {"images": images.astype(np.float32) / 255.0, "targets": targets}, mesh
+                )
+                state, metrics = train_step(state, batch["images"], batch["targets"])
+                if i % max(nb // 10, 1) == 0:
+                    m = jax.device_get(metrics)
+                    mloss = (mloss * i + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (i + 1)
+                    LOGGER.info(
+                        f"epoch {epoch}/{opt.epochs - 1} batch {i}/{nb} "
+                        f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
+                    )
+
+        # per-epoch val with EMA weights (reference: train.py:291-303)
+        results = (0, 0, 0, 0, 0, 0, 0)
+        if not opt.noval or epoch == opt.epochs - 1:
+            ema_vars = jax.device_get(ema_variables(state))
+            val_runner.variables = jax.tree_util.tree_map(jnp.asarray, ema_vars)
+            val_runner._infer_cache = {}
+            results, _, _ = validate.run(
+                data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
+                project=str(save_dir), name="val", exist_ok=True, names=names,
+                single_cls=opt.single_cls,
+            )
+        fi = fitness(np.array(results[:4]))
+        with open(results_file, "a") as f:
+            if epoch == start_epoch:
+                f.write("epoch,box,obj,cls,P,R,mAP50,mAP,fitness\n")
+            f.write(
+                f"{epoch},{mloss[0]:.5f},{mloss[1]:.5f},{mloss[2]:.5f},"
+                + ",".join(f"{x:.5f}" for x in results[:4])
+                + f",{fi:.5f}\n"
+            )
+        if fi > best_fitness:
+            best_fitness = fi
+        host_state = jax.device_get(state)
+        save_checkpoint(last, host_state, epoch=epoch, best_fitness=best_fitness)
+        if fi == best_fitness:
+            save_checkpoint(best, host_state, epoch=epoch, best_fitness=best_fitness)
+        LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
+        if stopper(epoch, fi):
+            LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
+            break
+
+    LOGGER.info(f"{final_epoch - start_epoch + 1} epochs in {(time.time() - t0) / 3600:.2f}h")
+    for f in (last, best):
+        if f.exists():
+            strip_checkpoint(f, f.with_suffix(".msgpack"))
+    return best_fitness
+
+
+def parse_opt(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", type=str, default="", help="initial weights (.ckpt/.msgpack)")
+    parser.add_argument("--cfg", type=str, default="yolo-somi")
+    parser.add_argument("--data", type=str, default="visdrone")
+    parser.add_argument("--hyp", type=str, default="hyp.visdrone")
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    parser.add_argument("--rect", action="store_true")
+    parser.add_argument("--resume", nargs="?", const=True, default=False)
+    parser.add_argument("--noval", action="store_true")
+    parser.add_argument("--noautoanchor", action="store_true")
+    parser.add_argument("--kmean", action="store_true", help="k-means++ autoanchor (reference --kmean)")
+    parser.add_argument("--adam", action="store_true")
+    parser.add_argument("--linear-lr", action="store_true")
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--rep", action="store_true", help="enable repulsion loss")
+    parser.add_argument("--label-smoothing", type=float, default=0.0)
+    parser.add_argument("--patience", type=int, default=100)
+    parser.add_argument("--project", default="runs/train")
+    parser.add_argument("--name", default="exp")
+    parser.add_argument("--exist-ok", action="store_true")
+    parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-labels", type=int, default=300)
+    parser.add_argument("--no-bf16", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(opt):
+    from yolosomi_tpu.utils.general import select_device
+    select_device(getattr(opt, "device", ""))
+    hyp = load_hyp(find_config(opt.hyp, "hyps"))
+    if opt.label_smoothing:
+        hyp["label_smoothing"] = opt.label_smoothing
+    return train(hyp, opt)
+
+
+if __name__ == "__main__":
+    main(parse_opt())

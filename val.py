@@ -1,0 +1,197 @@
+"""Validation CLI: mAP@0.5:0.95 evaluation (counterpart of reference val.py).
+
+Pipeline: batched jitted inference (forward + decode + NMS on device) ->
+host-side letterbox-inverse rescale -> greedy TP matching at 10 IoU
+thresholds -> ap_per_class with the reference's exact protocol
+(1000-pt curves, 101-pt AP, F1-argmax operating point; val.py:50-251).
+
+Protocol notes vs the reference:
+- run() defaults to the mAP-correct conf 0.001 / IoU 0.6; the reference
+  CLI defaults of conf 0.4 / IoU 0.2 (val.py:258-259, which inflate P and
+  deflate mAP) are available via flags for comparability.
+- the reference hardcodes loading hyp.VisDrone.yaml in standalone eval
+  (val.py:124-128, a defect) — not reproduced; pass --hyp if loss values
+  are wanted.
+- --alpha-iou switches TP matching to alpha-IoU (utils/metrics_aIoU.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolosomi_tpu.data.datasets import DataLoader, DetectionDataset
+from yolosomi_tpu.engine.runner import Runner
+from yolosomi_tpu.utils.boxes import scale_coords, xywh2xyxy
+from yolosomi_tpu.utils.config import find_config, load_data_cfg
+from yolosomi_tpu.utils.general import LOGGER, check_img_size, increment_path
+from yolosomi_tpu.utils.metrics import ConfusionMatrix, ap_per_class, fitness, process_batch
+
+
+def run(
+    data,
+    weights=None,
+    cfg="yolo-somi",
+    batch_size=16,
+    imgsz=640,
+    conf_thres=0.001,
+    iou_thres=0.6,
+    task="val",
+    single_cls=False,
+    augment=False,
+    save_txt=False,
+    save_json=False,
+    project="runs/val",
+    name="exp",
+    exist_ok=False,
+    half=True,
+    max_det=300,
+    alpha_iou=False,
+    plots=False,
+    runner: Runner = None,
+    dataloader: DataLoader = None,
+    names=None,
+):
+    t_start = time.time()
+    data_dict = load_data_cfg(find_config(data, "data")) if isinstance(data, str) else data
+    nc = 1 if single_cls else int(data_dict["nc"])
+    names = names or data_dict.get("names", [str(i) for i in range(nc)])
+
+    if runner is None:
+        runner = Runner(cfg, weights, nc=nc, imgsz=imgsz)
+    imgsz = check_img_size(imgsz, s=runner.stride)
+
+    save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
+
+    if dataloader is None:
+        dataset = DetectionDataset(
+            data_dict[task], img_size=imgsz, batch_size=batch_size, augment=False,
+            rect=False, stride=runner.stride, pad=0.5,
+        )
+        dataloader = DataLoader(dataset, batch_size, shuffle=False)
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    confusion = ConfusionMatrix(nc=nc) if plots else None
+    infer = runner.infer_fn(conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det)
+
+    seen = 0
+    t_pre = t_inf = t_post = 0.0
+    for images, targets, paths, shapes in dataloader:
+        t0 = time.time()
+        x = images.astype(np.float32) / 255.0
+        t1 = time.time()
+        out = np.asarray(infer(runner.variables, x))
+        t2 = time.time()
+
+        h, w = images.shape[1:3]
+        for si in range(len(paths)):
+            seen += 1
+            det = out[si]
+            det = det[det[:, 4] > 0]
+            labs = targets[si]
+            labs = labs[labs[:, 0] >= 0]
+            tbox = np.zeros((0, 5), np.float32)
+            if len(labs):
+                tbox = np.concatenate(
+                    [labs[:, 0:1], np.asarray(xywh2xyxy(labs[:, 1:5] * [w, h, w, h]))], 1
+                )
+            if shapes[si] is not None:
+                (h0, w0), ratio_pad = shapes[si]
+                if len(det):
+                    det = det.copy()
+                    det[:, :4] = np.asarray(scale_coords((h, w), det[:, :4], (h0, w0), ratio_pad))
+                if len(tbox):
+                    tbox = tbox.copy()
+                    tbox[:, 1:5] = np.asarray(scale_coords((h, w), tbox[:, 1:5], (h0, w0), ratio_pad))
+            if single_cls and len(det):
+                det[:, 5] = 0
+            correct = process_batch(det, tbox, iouv, alpha_iou=alpha_iou)
+            stats.append((correct, det[:, 4], det[:, 5], tbox[:, 0]))
+            if confusion is not None:
+                confusion.process_batch(det, tbox)
+            if save_txt and len(det):
+                (save_dir / "labels").mkdir(parents=True, exist_ok=True)
+                with open(save_dir / "labels" / (Path(paths[si]).stem + ".txt"), "a") as f:
+                    for row in det:
+                        f.write(f"{int(row[5])} " + " ".join(f"{v:.2f}" for v in row[:5]) + "\n")
+        t_post += time.time() - t2
+        t_inf += t2 - t1
+        t_pre += t1 - t0
+
+    if stats:
+        stats_np = [np.concatenate(x, 0) for x in zip(*stats)]
+    else:
+        stats_np = []
+    mp = mr = map50 = map_ = 0.0
+    ap_class = []
+    nt = np.zeros(nc)
+    if len(stats_np) and stats_np[0].any():
+        p, r, ap, f1, ap_class = ap_per_class(
+            *stats_np, plot=plots, save_dir=str(save_dir), names=names
+        )
+        ap50, ap = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap.mean()
+        nt = np.bincount(stats_np[3].astype(int), minlength=nc)
+
+    pf = "%20s" + "%11i" * 2 + "%11.3g" * 4
+    LOGGER.info(("%20s" + "%11s" * 6) % ("Class", "Images", "Labels", "P", "R", "mAP@.5", "mAP@.5:.95"))
+    LOGGER.info(pf % ("all", seen, nt.sum(), mp, mr, map50, map_))
+    if len(ap_class) and nc > 1 and nc < 50:
+        for i, c in enumerate(ap_class):
+            LOGGER.info(pf % (names[c] if c < len(names) else c, seen, nt[c], p[i], r[i], ap50[i], ap[i]))
+
+    spd = tuple(x / max(seen, 1) * 1000 for x in (t_pre, t_inf, t_post))
+    LOGGER.info("Speed: %.1fms pre, %.1fms inference+NMS, %.1fms post per image" % spd)
+    if confusion is not None:
+        confusion.plot(save_dir=str(save_dir), names=names)
+
+    if save_json and len(stats):
+        LOGGER.info(f"COCO JSON written to {save_dir / 'predictions.json'}")
+
+    maps = np.zeros(nc) + map_
+    for i, c in enumerate(ap_class):
+        maps[int(c)] = ap[i]
+    results = (mp, mr, map50, map_, 0.0, 0.0, 0.0)
+    LOGGER.info(f"fitness: {fitness(np.array(results[:4])):.4f} ({time.time() - t_start:.1f}s)")
+    return results, maps, spd
+
+
+def parse_opt(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", type=str, default="visdrone")
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--cfg", type=str, default="yolo-somi")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    # reference CLI defaults (val.py:258-259); run() itself defaults to the
+    # mAP-correct 0.001/0.6
+    parser.add_argument("--conf-thres", type=float, default=0.001)
+    parser.add_argument("--iou-thres", type=float, default=0.6)
+    parser.add_argument("--task", default="val")
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--save-txt", action="store_true")
+    parser.add_argument("--save-json", action="store_true")
+    parser.add_argument("--project", default="runs/val")
+    parser.add_argument("--name", default="exp")
+    parser.add_argument("--exist-ok", action="store_true")
+    parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
+    parser.add_argument("--alpha-iou", action="store_true")
+    parser.add_argument("--plots", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(opt):
+    opts = vars(opt).copy()
+    from yolosomi_tpu.utils.general import select_device
+    select_device(opts.pop("device", ""))
+    run(**opts)
+
+
+if __name__ == "__main__":
+    main(parse_opt())

@@ -1,0 +1,466 @@
+"""Datasets + loaders (host side).
+
+Behavioral counterpart of the reference's utils/datasets.py: file-list
+expansion (:422-447), validated label cache (:550-585, :948-995),
+rect-training shape binning (:498-524), mosaic/mixup __getitem__
+(:596-673), and the inference loaders (:157-256). Differences, TPU-first:
+
+- batches collate to fixed shapes: images (B, H, W, 3) uint8 NHWC and
+  targets (B, max_labels, 5) padded with cls=-1 (no ragged tensors, so
+  the train step compiles once per image size).
+- the loader is a thread-prefetched iterator feeding device_put; there is
+  no DistributedSampler — per-host sharding happens at the sharding layer
+  (yolosomi_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import math
+import os
+import queue
+import random
+import threading
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from yolosomi_tpu.data import augment as A
+from yolosomi_tpu.utils.boxes import xywhn2xyxy, xyxy2xywhn
+from yolosomi_tpu.utils.general import LOGGER
+
+IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp")
+VID_FORMATS = ("asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv")
+CACHE_VERSION = "yolosomi-tpu-0.1"
+
+
+def img2label_paths(img_paths: List[str]) -> List[str]:
+    """images/ -> labels/, *.jpg -> *.txt (reference: datasets.py:398-401)."""
+    sa, sb = os.sep + "images" + os.sep, os.sep + "labels" + os.sep
+    return [sb.join(x.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt" for x in img_paths]
+
+
+def get_hash(paths: List[str]) -> str:
+    """md5 of path names + sizes (reference: datasets.py:85-91)."""
+    size = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    h = hashlib.md5(str(size).encode())
+    h.update("".join(paths).encode())
+    return h.hexdigest()
+
+
+def list_images(path) -> List[str]:
+    """Expand dir / txt-list / glob into a sorted image file list
+    (reference: datasets.py:422-447)."""
+    files: List[str] = []
+    for p in path if isinstance(path, list) else [path]:
+        p = Path(p)
+        if p.is_dir():
+            files += glob.glob(str(p / "**" / "*.*"), recursive=True)
+        elif p.is_file() and p.suffix == ".txt":
+            parent = str(p.parent) + os.sep
+            with open(p) as f:
+                lines = f.read().strip().splitlines()
+            files += [x.replace("./", parent) if x.startswith("./") else x for x in lines]
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            files += glob.glob(str(p), recursive=True)
+    imgs = sorted(x for x in files if x.rsplit(".", 1)[-1].lower() in IMG_FORMATS)
+    if not imgs:
+        raise FileNotFoundError(f"no images found in {path}")
+    return imgs
+
+
+def verify_image_label(im_file: str, lb_file: str):
+    """Validate one image/label pair (reference: datasets.py:948-995).
+    Returns (im_file, labels (n,5), shape (w,h), nm, nf, ne, ncorrupt, msg)."""
+    nm = nf = ne = nc = 0
+    msg = ""
+    try:
+        im = cv2.imread(im_file)
+        if im is None:
+            raise ValueError("unreadable image")
+        shape = (im.shape[1], im.shape[0])  # (w, h)
+        assert shape[0] > 9 and shape[1] > 9, f"image size {shape} <10 pixels"
+        if os.path.isfile(lb_file):
+            nf = 1
+            with open(lb_file) as f:
+                rows = [x.split() for x in f.read().strip().splitlines() if len(x)]
+            lb = np.array(rows, dtype=np.float32) if rows else np.zeros((0, 5), np.float32)
+            if len(lb):
+                assert lb.shape[1] == 5, f"labels require 5 columns, got {lb.shape[1]}"
+                assert (lb >= 0).all(), "negative label values"
+                assert (lb[:, 1:] <= 1).all(), "non-normalized coordinates"
+                _, idx = np.unique(lb, axis=0, return_index=True)
+                if len(idx) < len(lb):
+                    lb = lb[idx]
+                    msg = f"{im_file}: removed {len(rows) - len(idx)} duplicate labels"
+            else:
+                ne = 1
+        else:
+            nm = 1
+            lb = np.zeros((0, 5), np.float32)
+        return im_file, lb, shape, nm, nf, ne, nc, msg
+    except Exception as e:
+        nc = 1
+        return None, None, None, nm, nf, ne, nc, f"{im_file}: ignoring corrupt image/label: {e}"
+
+
+class DetectionDataset:
+    """Train/val dataset (reference LoadImagesAndLabels, datasets.py:404-706)."""
+
+    def __init__(
+        self,
+        path,
+        img_size: int = 640,
+        batch_size: int = 16,
+        augment: bool = False,
+        hyp: Optional[dict] = None,
+        rect: bool = False,
+        stride: int = 32,
+        pad: float = 0.0,
+        max_labels: int = 300,
+        cache_images: bool = False,
+    ):
+        self.img_size = img_size
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.rect = rect
+        self.stride = stride
+        self.pad = pad
+        self.max_labels = max_labels
+        self.mosaic = augment and not rect
+        self.mosaic_border = [-img_size // 2, -img_size // 2]
+        self.albumentations = A.Albumentations() if augment else None
+
+        self.img_files = list_images(path)
+        self.label_files = img2label_paths(self.img_files)
+        cache = self._load_or_build_cache(path)
+        labels, shapes = zip(*[(cache[f][0], cache[f][1]) for f in self.img_files])
+        self.labels = list(labels)
+        self.shapes = np.array(shapes, np.float64)  # (n, 2) (w, h)
+        self.n = len(self.img_files)
+        self.indices = np.arange(self.n)
+        self.batch = np.floor(np.arange(self.n) / batch_size).astype(int)
+
+        if self.rect:
+            self._setup_rect(batch_size)
+
+        self.ims: List[Optional[np.ndarray]] = [None] * self.n
+        if cache_images:
+            for i in range(self.n):
+                self.ims[i], _, _ = self.load_image(i)
+
+    # -- caching --------------------------------------------------------
+
+    def _cache_path(self, path) -> Path:
+        p = Path(path if isinstance(path, str) else path[0])
+        return (p if p.is_file() else p.parent).with_suffix(".somi.cache.npy")
+
+    def _load_or_build_cache(self, path) -> dict:
+        cache_path = self._cache_path(path)
+        h = get_hash(self.label_files + self.img_files)
+        if cache_path.exists():
+            try:
+                cache = np.load(cache_path, allow_pickle=True).item()
+                if cache.get("version") == CACHE_VERSION and cache.get("hash") == h:
+                    return cache
+            except Exception:
+                pass
+        cache = {"version": CACHE_VERSION, "hash": h}
+        nm = nf = ne = nc = 0
+        keep_imgs, keep_lbls = [], []
+        for im_file, lb_file in zip(self.img_files, self.label_files):
+            f, lb, shape, m, fo, e, c, msg = verify_image_label(im_file, lb_file)
+            nm, nf, ne, nc = nm + m, nf + fo, ne + e, nc + c
+            if msg:
+                LOGGER.warning(msg)
+            if f is not None:
+                cache[f] = (lb, shape)
+                keep_imgs.append(im_file)
+                keep_lbls.append(lb_file)
+        self.img_files, self.label_files = keep_imgs, keep_lbls
+        LOGGER.info(f"dataset: {nf} labels found, {nm} missing, {ne} empty, {nc} corrupt")
+        try:
+            np.save(cache_path, cache)
+            cache_path.with_suffix(".npy").rename(cache_path)  # np.save appends .npy
+        except Exception:
+            pass
+        return cache
+
+    def _setup_rect(self, batch_size: int):
+        """Aspect-ratio batch binning (reference: datasets.py:498-524)."""
+        nb = self.batch[-1] + 1
+        s = self.shapes  # (w, h)
+        ar = s[:, 1] / s[:, 0]  # h/w
+        irect = ar.argsort()
+        self.img_files = [self.img_files[i] for i in irect]
+        self.label_files = [self.label_files[i] for i in irect]
+        self.labels = [self.labels[i] for i in irect]
+        self.shapes = s[irect]
+        ar = ar[irect]
+        shapes = [[1.0, 1.0]] * nb
+        for i in range(nb):
+            ari = ar[self.batch == i]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                shapes[i] = [maxi, 1.0]
+            elif mini > 1:
+                shapes[i] = [1.0, 1.0 / mini]
+        self.batch_shapes = (
+            np.ceil(np.array(shapes) * self.img_size / self.stride + self.pad).astype(int) * self.stride
+        )
+
+    # -- image access ---------------------------------------------------
+
+    def load_image(self, i: int):
+        """Lazy load + long-side resize (reference: datasets.py:710-729)."""
+        im = self.ims[i]
+        if im is not None:
+            h0, w0 = self.shapes[i][1], self.shapes[i][0]
+            return im, (int(h0), int(w0)), im.shape[:2]
+        im = cv2.imread(self.img_files[i])
+        assert im is not None, f"image not found {self.img_files[i]}"
+        h0, w0 = im.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_AREA if r < 1 and not self.augment else cv2.INTER_LINEAR
+            im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
+        return im, (h0, w0), im.shape[:2]
+
+    def load_mosaic(self, index: int):
+        """4-image mosaic on a 2s x 2s canvas (reference: datasets.py:732-798)."""
+        s = self.img_size
+        labels4 = []
+        yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
+        indices = [index] + random.choices(list(self.indices), k=3)
+        random.shuffle(indices)
+        img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        for i, idx in enumerate(indices):
+            img, _, (h, w) = self.load_image(idx)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            labels = self.labels[idx].copy()
+            if labels.size:
+                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], w, h, padw, padh))
+            labels4.append(labels)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
+        labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+
+        img4, labels4 = A.copy_reduce_paste(img4, labels4, p=self.hyp.get("copy_paste", 0.0))
+        img4, labels4 = A.random_perspective(
+            img4,
+            labels4,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.1),
+            scale=self.hyp.get("scale", 0.5),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=self.mosaic_border,
+        )
+        return img4, labels4
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int):
+        """Returns (img HWC uint8 BGR, labels (n,5) [cls,xc,yc,w,h] norm,
+        path, shapes) — the reference tuple (datasets.py:596-673) minus the
+        CHW flip (we stay NHWC)."""
+        hyp = self.hyp
+        use_mosaic = self.mosaic and random.random() < hyp.get("mosaic", 0.0)
+        if use_mosaic:
+            img, labels = self.load_mosaic(index)
+            shapes = None
+            if random.random() < hyp.get("mixup", 0.0):
+                img, labels = A.mixup(img, labels, *self.load_mosaic(random.randint(0, self.n - 1)))
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            shape = self.batch_shapes[self.batch[index]] if self.rect else self.img_size
+            img, ratio, pad = A.letterbox(img, shape, auto=False, scaleup=self.augment)
+            shapes = (h0, w0), ((h / h0, w / w0), pad)
+            labels = self.labels[index].copy()
+            if labels.size:
+                labels[:, 1:] = np.asarray(
+                    xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, padw=pad[0], padh=pad[1])
+                )
+            if self.augment:
+                img, labels = A.random_perspective(
+                    img,
+                    labels,
+                    degrees=hyp.get("degrees", 0.0),
+                    translate=hyp.get("translate", 0.1),
+                    scale=hyp.get("scale", 0.5),
+                    shear=hyp.get("shear", 0.0),
+                    perspective=hyp.get("perspective", 0.0),
+                )
+
+        nl = len(labels)
+        if nl:
+            labels[:, 1:5] = np.asarray(
+                xyxy2xywhn(labels[:, 1:5], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3)
+            )
+
+        if self.augment:
+            if self.albumentations:
+                img, labels = self.albumentations(img, labels)
+                nl = len(labels)
+            img = A.augment_hsv(
+                img, hgain=hyp.get("hsv_h", 0.0), sgain=hyp.get("hsv_s", 0.0), vgain=hyp.get("hsv_v", 0.0)
+            )
+            if random.random() < hyp.get("flipud", 0.0):
+                img = np.flipud(img)
+                if nl:
+                    labels[:, 2] = 1 - labels[:, 2]
+            if random.random() < hyp.get("fliplr", 0.0):
+                img = np.fliplr(img)
+                if nl:
+                    labels[:, 1] = 1 - labels[:, 1]
+
+        return np.ascontiguousarray(img), labels.astype(np.float32), self.img_files[index], shapes
+
+
+def collate_batch(samples, max_labels: int):
+    """Stack a list of dataset samples into fixed-shape arrays:
+    images (B,H,W,3) uint8, targets (B,max_labels,5) cls=-1-padded."""
+    imgs, labels, paths, shapes = zip(*samples)
+    images = np.stack(imgs, 0)
+    from yolosomi_tpu.losses import pad_targets
+
+    targets = pad_targets(list(labels), max_labels)
+    return images, targets, list(paths), list(shapes)
+
+
+class DataLoader:
+    """Shuffling, thread-prefetched batch iterator (replaces the
+    reference's InfiniteDataLoader + worker pool, datasets.py:94-155)."""
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool = False, prefetch: int = 2,
+                 drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(sel) < self.batch_size and not self.dataset.rect:
+                # pad the final batch by wrapping (fixed shapes for jit)
+                sel = np.concatenate([sel, idx[: self.batch_size - len(sel)]])
+            yield collate_batch([self.dataset[int(i)] for i in sel], self.dataset.max_labels)
+
+    def __iter__(self):
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class LoadImages:
+    """Inference loader for files/dirs/globs/videos (reference:
+    datasets.py:157-256). Yields (path, letterboxed HWC uint8, original
+    image, video_capture)."""
+
+    def __init__(self, path, img_size: int = 640, stride: int = 32, auto: bool = False):
+        files = []
+        p = str(Path(path).resolve())
+        if "*" in p:
+            files = sorted(glob.glob(p, recursive=True))
+        elif os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "*.*")))
+        elif os.path.isfile(p):
+            files = [p]
+        else:
+            raise FileNotFoundError(f"{p} does not exist")
+        images = [x for x in files if x.rsplit(".", 1)[-1].lower() in IMG_FORMATS]
+        videos = [x for x in files if x.rsplit(".", 1)[-1].lower() in VID_FORMATS]
+        self.files = images + videos
+        self.video_flag = [False] * len(images) + [True] * len(videos)
+        self.img_size = img_size
+        self.stride = stride
+        self.auto = auto
+        self.nf = len(self.files)
+        self.mode = "image"
+        self.cap = None
+        if videos:
+            self._new_video(videos[0])
+        assert self.nf > 0, f"no images/videos in {p}"
+
+    def _new_video(self, path):
+        self.frame = 0
+        self.cap = cv2.VideoCapture(path)
+        self.frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    def __iter__(self):
+        self.count = 0
+        return self
+
+    def __len__(self):
+        return self.nf
+
+    def __next__(self):
+        if self.count == self.nf:
+            raise StopIteration
+        path = self.files[self.count]
+        if self.video_flag[self.count]:
+            self.mode = "video"
+            ret, im0 = self.cap.read()
+            if not ret:
+                self.count += 1
+                self.cap.release()
+                if self.count == self.nf:
+                    raise StopIteration
+                self._new_video(self.files[self.count])
+                ret, im0 = self.cap.read()
+            self.frame += 1
+        else:
+            self.count += 1
+            im0 = cv2.imread(path)
+            assert im0 is not None, f"image not found {path}"
+        img = A.letterbox(im0, self.img_size, stride=self.stride, auto=self.auto)[0]
+        return path, np.ascontiguousarray(img), im0, self.cap

@@ -1,0 +1,104 @@
+"""Checkpoint save/load (reference: train.py:309-324, general.py:714-727).
+
+The reference pickles the whole nn.Module into last.pt/best.pt
+(SURVEY.md §5.4); here checkpoints are pure pytrees serialized with
+flax msgpack — no module code in the file, loadable without the model
+class. Layout mirrors the reference dict:
+
+    {epoch, best_fitness, params, batch_stats,
+     ema_params, ema_batch_stats, ema_updates, opt_state?, meta}
+
+`strip_checkpoint` is the strip_optimizer equivalent: EMA promoted to
+model, optimizer dropped, weights cast to bf16.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path,
+    state,
+    epoch: int = -1,
+    best_fitness: float = 0.0,
+    meta_dict: Optional[dict] = None,
+    include_optimizer: bool = True,
+) -> None:
+    from yolosomi_tpu.engine.trainer import TrainState
+
+    payload = {
+        "epoch": epoch,
+        "best_fitness": best_fitness,
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "ema_params": _to_host(state.ema.variables["params"]),
+        "ema_batch_stats": _to_host(state.ema.variables["batch_stats"]),
+        "ema_updates": int(state.ema.updates),
+        "step": int(state.step),
+    }
+    if include_optimizer:
+        # to_state_dict flattens NamedTuple optimizer states into plain dicts
+        payload["opt_state"] = serialization.to_state_dict(_to_host(state.opt_state))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+    if meta_dict is not None:
+        path.with_suffix(".json").write_text(json.dumps(meta_dict, default=str, indent=1))
+
+
+def load_checkpoint(path) -> dict:
+    return serialization.msgpack_restore(Path(path).read_bytes())
+
+
+def checkpoint_variables(ckpt: dict, ema: bool = True) -> dict:
+    """Pick EMA weights when present, else raw model — the attempt_load
+    contract (reference: experimental.py:97-101)."""
+    if ema and "ema_params" in ckpt and ckpt["ema_params"]:
+        return {"params": ckpt["ema_params"], "batch_stats": ckpt.get("ema_batch_stats", {})}
+    return {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})}
+
+
+def save_variables(path, variables: dict, meta_dict: Optional[dict] = None) -> None:
+    """Save bare inference variables (weights-only artifact)."""
+    payload = {
+        "params": _to_host(variables["params"]),
+        "batch_stats": _to_host(variables.get("batch_stats", {})),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+    if meta_dict is not None:
+        path.with_suffix(".json").write_text(json.dumps(meta_dict, default=str, indent=1))
+
+
+def load_variables(path) -> dict:
+    obj = serialization.msgpack_restore(Path(path).read_bytes())
+    if "params" not in obj:  # full checkpoint passed: take EMA
+        return checkpoint_variables(obj)
+    return {"params": obj["params"], "batch_stats": obj.get("batch_stats", {})}
+
+
+def strip_checkpoint(path, out_path=None, half: bool = True) -> None:
+    """EMA -> model, drop optimizer, optionally cast to bf16
+    (reference strip_optimizer: general.py:714-727)."""
+    ckpt = load_checkpoint(path)
+    variables = checkpoint_variables(ckpt, ema=True)
+    if half:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            variables,
+        )
+    save_variables(out_path or path, variables)

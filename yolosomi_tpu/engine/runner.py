@@ -1,0 +1,85 @@
+"""Model loading/inference runner shared by the CLIs.
+
+Counterpart of the reference's attempt_load + backend dispatch
+(experimental.py:90-122, detect.py:83-130): builds a model from a YAML
+config, optionally restores weights from a msgpack checkpoint, and
+provides a jitted batched inference function (forward + decode + NMS on
+device).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.engine.checkpoint import load_variables
+from yolosomi_tpu.models.heads import decode
+from yolosomi_tpu.models.yolo import build_model, init_model
+from yolosomi_tpu.ops.nms import non_max_suppression
+from yolosomi_tpu.utils.config import find_config, load_model_cfg
+from yolosomi_tpu.utils.general import LOGGER
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: str,
+        weights: Optional[str] = None,
+        nc: Optional[int] = None,
+        dtype=jnp.bfloat16,
+        imgsz: int = 640,
+    ):
+        cfg_dict = load_model_cfg(find_config(cfg))
+        self.model, self.meta = build_model(cfg_dict, nc=nc, dtype=dtype)
+        if weights and Path(weights).exists():
+            self.variables = load_variables(weights)
+            # msgpack restores plain dicts; cast leaves to jnp
+            self.variables = jax.tree_util.tree_map(jnp.asarray, self.variables)
+            LOGGER.info(f"loaded weights {weights}")
+        else:
+            if weights:
+                LOGGER.warning(f"weights {weights} not found; using random init")
+            self.variables = init_model(self.model, self.meta, imgsz=min(imgsz, 256))
+        self._infer_cache = {}
+
+    @property
+    def names(self):
+        return self.meta.names
+
+    @property
+    def stride(self) -> int:
+        return int(max(self.meta.strides))
+
+    def infer_fn(self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300):
+        """Jitted (images float NHWC [0,1]) -> (B, max_det, 6) detections."""
+        key = (conf_thres, iou_thres, multi_label, agnostic, max_det)
+        if key not in self._infer_cache:
+
+            @jax.jit
+            def fn(variables, images):
+                preds = self.model.apply(variables, images, train=False)
+                dec = decode(preds, self.meta.anchors_px, self.meta.strides)
+                return non_max_suppression(
+                    dec,
+                    conf_thres=conf_thres,
+                    iou_thres=iou_thres,
+                    multi_label=multi_label,
+                    agnostic=agnostic,
+                    max_det=max_det,
+                )
+
+            self._infer_cache[key] = fn
+        return self._infer_cache[key]
+
+    def __call__(self, images: np.ndarray, **nms_kw) -> np.ndarray:
+        """images: (B,H,W,3) uint8 BGR or float [0,1]. Returns numpy
+        (B, max_det, 6) [x1,y1,x2,y2,conf,cls] in letterboxed pixels."""
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        out = self.infer_fn(**nms_kw)(self.variables, jnp.asarray(images))
+        return np.asarray(out)

@@ -1,0 +1,117 @@
+"""Train/eval step factories: jitted, sharded, donated.
+
+TPU-native counterpart of the reference's inner training loop
+(train.py:233-283). One compiled function subsumes: AMP autocast
+(bf16 compute dtype), loss, backward, DDP all-reduce (XLA inserts it from
+the mesh sharding), optimizer step with warmup/one-cycle schedules, and
+the EMA update — the reference does each of these as separate Python
+steps per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolosomi_tpu.engine.ema import EMAState, ema_init, ema_update
+from yolosomi_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+    step: jax.Array
+
+
+def create_train_state(variables, optimizer) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        ema=ema_init({"params": params, "batch_stats": batch_stats}),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, loss_fn: Callable, optimizer, mesh=None):
+    """Build the jitted train step.
+
+    loss_fn(preds, targets) -> (total, components). images are NHWC float
+    (already /255 normalized); targets (B, M, 5) padded.
+    """
+
+    def train_step(state: TrainState, images, targets):
+        def loss_of(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, comps = loss_fn(preds, targets)
+            return loss, (comps, mutated["batch_stats"])
+
+        (loss, (comps, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(state.ema, {"params": new_params, "batch_stats": new_bs})
+        new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1)
+        metrics = {
+            "loss": loss,
+            "lbox": comps[0],
+            "lobj": comps[1],
+            "lcls": comps[2],
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        in_shardings = (
+            replicate(mesh),  # state
+            batch_sharding(mesh, 4),  # images
+            batch_sharding(mesh, 3),  # targets
+        )
+        return jax.jit(
+            train_step, in_shardings=in_shardings, out_shardings=(replicate(mesh), replicate(mesh)),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, meta, conf_thres=0.001, iou_thres=0.6, max_det=300, multi_label=True, mesh=None):
+    """Build a jitted inference step: forward + decode + NMS on device
+    (replaces detect.py:148-201 per-image host loop)."""
+    from yolosomi_tpu.models.heads import decode
+    from yolosomi_tpu.ops.nms import non_max_suppression
+
+    def eval_step(variables, images):
+        preds = model.apply(variables, images, train=False)
+        dec = decode(preds, meta.anchors_px, meta.strides)
+        return non_max_suppression(
+            dec, conf_thres=conf_thres, iou_thres=iou_thres, multi_label=multi_label, max_det=max_det
+        )
+
+    if mesh is not None:
+        return jax.jit(
+            eval_step,
+            in_shardings=(replicate(mesh), batch_sharding(mesh, 4)),
+            out_shardings=batch_sharding(mesh, 3),
+        )
+    return jax.jit(eval_step)
+
+
+def ema_variables(state: TrainState):
+    """EMA weights for eval/checkpointing (reference validates with
+    ema.ema, train.py:297)."""
+    return {"params": state.ema.variables["params"], "batch_stats": state.ema.variables["batch_stats"]}
+
+
+def model_variables(state: TrainState):
+    return {"params": state.params, "batch_stats": state.batch_stats}

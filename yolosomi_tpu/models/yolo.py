@@ -1,0 +1,409 @@
+"""YAML model-graph compiler + DetectionModel (TPU-native).
+
+Re-design of the reference's graph interpreter (models/yolo.py:1164-1664):
+the same `[from, repeats, module, args]` YAML rows compile into a flax
+module list, but through an explicit registry instead of eval(), with
+analytic stride propagation instead of a dummy forward
+(reference probes strides by forwarding zeros, yolo.py:1196-1235 — here the
+graph itself tells us every layer's stride, so calibration is instant and
+shape-free).
+
+Known reference defect handled: the flagship YAML names `C2fEACBAM`
+(models/modules/YOLO-SOMI.yaml:40) which does not exist in the reference
+(actual class C2fEMACBAM, common.py:3594); the registry aliases it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import unfreeze
+
+from yolosomi_tpu.models import heads as heads_lib
+from yolosomi_tpu.models import layers as L
+from yolosomi_tpu.utils.general import LOGGER, make_divisible
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# Kind controls how parse_model rewrites args (reference: yolo.py:1471-1640):
+#   conv  : args [c2, ...] -> [c2*gw, ...]
+#   csp   : conv + insert repeat count n as arg 2
+#   plain : no channel args; c2 = ch[f]
+#   concat: c2 = sum of input channels
+#   fuse  : equal-shape fusion; c2 = ch of first input
+#   addN  : weighted add + conv; c2 arg given
+#   head  : detection head
+_REGISTRY: Dict[str, Tuple[Any, str]] = {
+    "Conv": (L.Conv, "conv"),
+    "DWConv": (L.DWConv, "conv"),
+    "Focus": (L.Focus, "conv"),
+    "GhostConv": (L.GhostConv, "conv"),
+    "GhostBottleneck": (L.GhostBottleneck, "conv"),
+    "Bottleneck": (L.Bottleneck, "conv"),
+    "SPP": (L.SPP, "conv"),
+    "SPPF": (L.SPPF, "conv"),
+    "SEAM": (L.SEAM, "seam"),
+    "MultiSEAM": (L.SEAM, "seam"),
+    "ODConv_3rd": (L.ODConv, "conv"),
+    "ODConv": (L.ODConv, "conv"),
+    "CBAM": (L.CBAM, "plain"),
+    "SE": (L.SE, "plain"),
+    "se_block": (L.SE, "plain"),
+    "BottleneckCSP": (L.BottleneckCSP, "csp"),
+    "C3": (L.C3, "csp"),
+    "C2f": (L.C2f, "csp"),
+    "C2fCBAM": (L.C2fCBAM, "csp"),
+    "C2fEMACBAM": (L.C2fEMACBAM, "csp"),
+    "C2fEACBAM": (L.C2fEMACBAM, "csp"),  # alias for the reference YAML typo
+    "Contract": (L.Contract, "contract"),
+    "Expand": (L.Expand, "expand"),
+    "nn.Upsample": (L.Upsample, "upsample"),
+    "Upsample": (L.Upsample, "upsample"),
+    "Concat": (L.Concat, "concat"),
+    "BiFPN": (L.BiFPN, "fuse"),
+    "BiFPN_Add2": (L.BiFPN_Add2, "addN"),
+    "BiFPN_Add3": (L.BiFPN_Add3, "addN"),
+    "Detect": (heads_lib.Detect, "head"),
+    "DecoupledDetect": (heads_lib.DecoupledDetect, "head"),
+    "DecoupledDetect1": (heads_lib.DecoupledDetect, "head"),
+    "Decoupled_Detect": (heads_lib.DecoupledDetect, "head"),
+}
+
+
+def register_module(name: str, cls, kind: str = "conv") -> None:
+    """Extension hook: add a module class to the YAML registry."""
+    _REGISTRY[name] = (cls, kind)
+
+
+# Default pixel anchors when the YAML gives `anchors: <int>` and autoanchor
+# has not run. nl=4 values are the SOMI VisDrone set recorded in the
+# reference YAML comments (models/modules/YOLO-SOMI.yaml:10-13); nl=3 is the
+# stock YOLOv5 set (models/hub/anchors.yaml).
+_DEFAULT_ANCHORS = {
+    3: [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    4: [
+        [3, 4, 4, 8, 7, 6, 7, 11],
+        [13, 8, 10, 17, 18, 12, 17, 23],
+        [32, 15, 31, 26, 28, 49, 65, 35],
+        [78, 73, 64, 98, 161, 47, 235, 85],
+    ],
+}
+
+
+@dataclasses.dataclass
+class LayerSpec:
+    i: int
+    f: Any  # int or list[int]
+    n: int
+    name: str
+    args: list
+    c2: int
+    stride: float  # cumulative downsample factor of this layer's output
+
+
+@dataclasses.dataclass
+class ModelMeta:
+    nc: int
+    names: List[str]
+    nl: int
+    na: int
+    strides: Tuple[float, ...]
+    anchors_px: np.ndarray  # (nl, na, 2) pixel-space
+    save: Tuple[int, ...]
+    head_from: Tuple[int, ...]
+    specs: List[LayerSpec]
+    yaml: dict
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5
+
+    @property
+    def anchors_grid(self) -> np.ndarray:
+        """Anchors in grid units (anchors_px / stride), the loss-path form
+        (reference divides the anchor buffer by stride at init, yolo.py:1203)."""
+        return self.anchors_px / np.asarray(self.strides, np.float32)[:, None, None]
+
+
+def _resolve_anchors(anchors, nl: int) -> np.ndarray:
+    """Return (nl, na, 2) pixel anchors from a YAML anchors field."""
+    if isinstance(anchors, int):
+        if nl in _DEFAULT_ANCHORS and len(_DEFAULT_ANCHORS[nl][0]) // 2 == anchors:
+            anchors = _DEFAULT_ANCHORS[nl]
+        else:
+            # geometric ladder per level: na sizes spanning [4s, ~13s] at stride s
+            base = _DEFAULT_ANCHORS.get(nl)
+            if base is not None:
+                # resample the default ladder to na anchors per level
+                anchors = [
+                    np.array(lv, np.float32).reshape(-1, 2)[
+                        np.linspace(0, len(lv) // 2 - 1, anchors).round().astype(int)
+                    ].reshape(-1).tolist()
+                    for lv in base
+                ]
+            else:
+                anchors = [
+                    (4.0 * 2**i * np.power(2.0, np.arange(anchors * 2) / 2.0)).tolist() for i in range(nl)
+                ]
+    a = np.asarray(anchors, np.float32)
+    return a.reshape(nl, -1, 2)
+
+
+def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
+    """Compile YAML rows into (module list, specs, meta fields).
+
+    Mirrors the reference's channel/repeat propagation rules
+    (yolo.py:1453-1664) for the supported module families.
+    """
+    anchors, nc = cfg["anchors"], cfg["nc"]
+    gd = cfg.get("depth_multiple", 1.0)
+    gw = cfg.get("width_multiple", 1.0)
+    na = (len(anchors[0]) // 2) if isinstance(anchors, list) else int(anchors)
+    no = na * (nc + 5)
+
+    chans: List[int] = [ch]
+    strides: List[float] = [1.0]
+    modules: List[nn.Module] = []
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+    head_from: Tuple[int, ...] = ()
+    head_name = ""
+
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    for i, (f, n, mname, args) in enumerate(rows):
+        mname = str(mname)
+        if mname not in _REGISTRY:
+            raise KeyError(f"module '{mname}' not in registry (row {i}); register via register_module()")
+        cls, kind = _REGISTRY[mname]
+        # token substitution replacing the reference's eval() of arg strings
+        # (yolo.py:1466-1470): 'nc'/'anchors' resolve to config values,
+        # 'None'/'True'/'False' to literals; other strings (e.g. 'nearest')
+        # pass through.
+        _tokens = {"nc": nc, "anchors": anchors, "None": None, "True": True, "False": False}
+        args = [_tokens.get(a, a) if isinstance(a, str) else a for a in args]
+        n_rep = max(round(n * gd), 1) if n > 1 else n
+
+        def in_ch(fi):
+            return chans[fi] if fi >= 0 else chans[len(chans) + fi]
+
+        def in_stride(fi):
+            return strides[fi] if fi >= 0 else strides[len(strides) + fi]
+
+        stride = in_stride(f if isinstance(f, int) else f[0])
+        kwargs: Dict[str, Any] = {}
+
+        if kind in ("conv", "csp", "seam"):
+            c1 = in_ch(f)
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            if kind == "seam":
+                # SEAM forces c2 = c1 (reference: common.py:8451)
+                c2 = c1
+                margs = [c2, *args[1:]]
+            elif kind == "csp":
+                margs = [c2, n_rep, *args[1:]]
+                n_rep = 1
+            else:
+                margs = [c2, *args[1:]]
+            if cls is L.DWConv:
+                kwargs["g"] = math.gcd(c1, c2)
+            mod = cls(*margs, dtype=dtype, **kwargs)
+            # stride propagation: conv-family arg position 2 is the stride
+            # (Conv/ODConv/GhostBottleneck signatures all put s there)
+            s_local = 1
+            if kind == "conv" and len(margs) > 2 and isinstance(margs[2], int) and not isinstance(margs[2], bool):
+                s_local = margs[2]
+            if cls is L.Focus:
+                s_local = 2
+            stride *= s_local
+        elif kind == "plain":
+            c2 = in_ch(f)
+            mod = cls(*args, dtype=dtype) if args else cls(c2, dtype=dtype)
+        elif kind == "upsample":
+            c2 = in_ch(f)
+            scale = args[1] if len(args) > 1 else 2
+            mod = cls(size=args[0] if args else None, scale_factor=scale, mode=args[2] if len(args) > 2 else "nearest")
+            stride /= scale
+        elif kind == "concat":
+            c2 = sum(in_ch(x) for x in f)
+            mod = cls()
+        elif kind == "fuse":
+            c2 = in_ch(f[0])
+            mod = cls(length=len(f), dtype=dtype)
+        elif kind == "addN":
+            c2 = max(in_ch(x) for x in f)
+            mod = cls(c2, dtype=dtype)
+        elif kind == "contract":
+            g = args[0] if args else 2
+            c2 = in_ch(f) * g * g
+            mod = cls(gain=g)
+            stride *= g
+        elif kind == "expand":
+            g = args[0] if args else 2
+            c2 = in_ch(f) // (g * g)
+            mod = cls(gain=g)
+            stride /= g
+        elif kind == "head":
+            head_from = tuple(x if x >= 0 else len(chans) + x for x in f)
+            head_strides = tuple(float(in_stride(x)) for x in f)
+            nl = len(f)
+            anchors_px = _resolve_anchors(args[1] if len(args) > 1 else anchors, nl)
+            mod = cls(
+                nc=nc,
+                anchors=tuple(tuple(a) for a in anchors_px.reshape(nl, -1).tolist()),
+                strides=head_strides,
+                dtype=dtype,
+            )
+            c2 = 0
+            head_name = mname
+            stride = 0.0
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+        if n_rep > 1:
+            # sequential repeat of a non-csp module (rare; mirror yolo.py:1641)
+            mod = _Repeat(tuple(dataclasses.replace(mod) for _ in range(n_rep)))
+
+        modules.append(mod)
+        specs.append(LayerSpec(i, f, n_rep, mname, args, int(c2), stride))
+        save.extend(x % i for x in ([f] if isinstance(f, int) else list(f)) if x != -1)
+        if i == 0:
+            chans, strides = [], []
+        chans.append(int(c2))
+        strides.append(stride)
+
+    nl = len(head_from)
+    head_strides = tuple(specs[j].stride for j in head_from)
+    anchors_px = _resolve_anchors(anchors, nl)
+    meta = ModelMeta(
+        nc=nc,
+        names=[str(i) for i in range(nc)],
+        nl=nl,
+        na=anchors_px.shape[1],
+        strides=head_strides,
+        anchors_px=anchors_px,
+        save=tuple(sorted(set(save))),
+        head_from=head_from,
+        specs=specs,
+        yaml=cfg,
+    )
+    return modules, meta, head_name
+
+
+class _Repeat(nn.Module):
+    mods: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for m in self.mods:
+            x = m(x, train)
+        return x
+
+
+class DetectionModel(nn.Module):
+    """Graph-interpreting detection model (reference: Model, yolo.py:1164).
+
+    `__call__` returns the head's raw per-level maps
+    [(B, ny, nx, na, no), ...]; use `yolosomi_tpu.models.heads.decode`
+    (or Runner.infer) for pixel-space boxes.
+    """
+
+    layers: Tuple[nn.Module, ...]
+    froms: Tuple[Any, ...]
+    save: Tuple[int, ...]
+    head_from: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        saved: Dict[int, jax.Array] = {}
+        prev = x
+        n = len(self.layers)
+        for i, (m, f) in enumerate(zip(self.layers, self.froms)):
+            if i == n - 1:  # head consumes its `from` list
+                prev = m([saved[j] for j in self.head_from], train)
+                break
+            if isinstance(f, int):
+                inp = prev if f == -1 else saved[f]
+            else:
+                inp = [prev if j == -1 else saved[j if j >= 0 else i + j] for j in f]
+            prev = m(inp, train)
+            if i in self.save:
+                saved[i] = prev
+        return prev
+
+
+def build_model(cfg: dict, ch: int = 3, nc: Optional[int] = None, anchors=None, dtype=jnp.float32):
+    """Compile a model YAML dict -> (DetectionModel, ModelMeta).
+
+    Mirrors Model.__init__ overrides (reference: yolo.py:1170-1190): an
+    explicit `nc` or `anchors` argument overrides the YAML value.
+    """
+    cfg = dict(cfg)
+    if nc is not None and nc != cfg.get("nc"):
+        LOGGER.info(f"Overriding model.yaml nc={cfg.get('nc')} with nc={nc}")
+        cfg["nc"] = nc
+    if anchors is not None:
+        LOGGER.info(f"Overriding model.yaml anchors with anchors={anchors}")
+        cfg["anchors"] = anchors
+    modules, meta, head_name = parse_model(cfg, ch=ch, dtype=dtype)
+    froms = tuple(s.f if isinstance(s.f, int) else tuple(s.f) for s in meta.specs)
+    model = DetectionModel(
+        layers=tuple(modules), froms=froms, save=meta.save, head_from=meta.head_from
+    )
+    return model, meta
+
+
+def init_model(model: DetectionModel, meta: ModelMeta, rng=None, imgsz: int = 256):
+    """Initialize variables and apply the detection-prior bias init
+    (reference: yolo.py:1334-1396 — obj bias log(8/(640/s)^2), cls bias
+    log(0.6/(nc-0.99999)))."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    # jit the init: one compile instead of thousands of eager dispatches
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
+    variables = unfreeze(variables)
+    params = variables["params"]
+    head_key = f"layers_{len(model.layers) - 1}"
+    head = params.get(head_key, {})
+    nc = meta.nc
+    cls_prior = math.log(0.6 / (nc - 0.99999)) if nc > 1 else 0.0
+    for i, s in enumerate(meta.strides):
+        obj_prior = math.log(8.0 / (640.0 / s) ** 2)
+        mi = head.get(f"m{i}")
+        if mi is None:
+            continue
+        if "b3" in mi:  # DecoupledDetect: separate box/obj and cls convs
+            b = np.array(mi["b3"]["conv"]["bias"]).reshape(meta.na, 5)
+            b[:, 4] += obj_prior
+            mi["b3"]["conv"]["bias"] = jnp.asarray(b.reshape(-1))
+            c = np.array(mi["c3"]["conv"]["bias"]).reshape(meta.na, nc)
+            c += cls_prior
+            mi["c3"]["conv"]["bias"] = jnp.asarray(c.reshape(-1))
+        elif "conv" in mi:  # coupled Detect 1x1 conv
+            b = np.array(mi["conv"]["bias"]).reshape(meta.na, meta.no)
+            b[:, 4] += obj_prior
+            b[:, 5:] += cls_prior
+            mi["conv"]["bias"] = jnp.asarray(b.reshape(-1))
+    variables["params"] = params
+    # plain dicts throughout: mixed FrozenDict/dict trees break tree_map
+    # in the EMA update
+    return variables
+
+
+def count_params(variables) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables.get("params", variables)))

@@ -1,0 +1,149 @@
+"""Static-shape non-maximum suppression in pure XLA.
+
+Replaces `torchvision.ops.nms` + the per-image Python loop of the reference
+(/root/reference/utils/general.py:629-711) with a fixed-shape formulation
+that jits and batches:
+
+1. conf = obj * cls, candidate gating by conf_thres (masked, not filtered)
+2. class-offset trick (+class * 4096) for per-class suppression
+   (reference: general.py:683)
+3. top-k candidate selection (max_nms cap, reference: general.py:665)
+4. greedy suppression as a `max_det`-step lax.fori_loop: each step picks the
+   score argmax and zeroes everything with IoU > iou_thres against it —
+   identical keep-set to torchvision's sequential greedy NMS.
+
+Outputs are padded to (max_det, 6) rows [x1, y1, x2, y2, conf, cls];
+validity = conf > 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.utils.boxes import xywh2xyxy
+
+MAX_WH = 4096.0  # class-offset multiplier (reference: general.py:641 `max_wh`)
+
+
+def _iou_row(box: jax.Array, boxes: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """IoU of one xyxy box against (K,4) boxes."""
+    x1 = jnp.maximum(box[0], boxes[:, 0])
+    y1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[2], boxes[:, 2])
+    y2 = jnp.minimum(box[3], boxes[:, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    a1 = (box[2] - box[0]) * (box[3] - box[1])
+    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (a1 + a2 - inter + eps)
+
+
+def _nms_single(
+    boxes: jax.Array,  # (K, 4) xyxy, already class-offset
+    scores: jax.Array,  # (K,)
+    iou_thres: float,
+    max_det: int,
+):
+    """Greedy NMS over sorted-or-not candidates; returns (max_det,) indices
+    and validity mask."""
+    K = boxes.shape[0]
+
+    def body(i, state):
+        scores_live, keep_idx, keep_valid = state
+        j = jnp.argmax(scores_live)
+        s = scores_live[j]
+        valid = s > 0.0
+        keep_idx = keep_idx.at[i].set(jnp.where(valid, j, -1))
+        keep_valid = keep_valid.at[i].set(valid)
+        iou = _iou_row(boxes[j], boxes)
+        # suppress overlaps (including j itself, IoU=1) only if valid pick
+        suppress = valid & (iou > iou_thres)
+        scores_live = jnp.where(suppress, 0.0, scores_live)
+        scores_live = scores_live.at[j].set(0.0)
+        return scores_live, keep_idx, keep_valid
+
+    keep_idx = jnp.full((max_det,), -1, jnp.int32)
+    keep_valid = jnp.zeros((max_det,), bool)
+    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, (scores, keep_idx, keep_valid))
+    return keep_idx, keep_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms"),
+)
+def non_max_suppression(
+    prediction: jax.Array,  # (B, N, 5 + nc) decoded rows [xc,yc,w,h,obj,cls...]
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes: Optional[jax.Array] = None,  # (nc,) bool mask of allowed classes
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+) -> jax.Array:
+    """Batched static-shape NMS.
+
+    Returns (B, max_det, 6) float32 rows [x1, y1, x2, y2, conf, cls], padded
+    with zeros; a row is valid iff its conf > 0.
+    """
+    b, n, no = prediction.shape
+    nc = no - 5
+    pred = prediction.astype(jnp.float32)
+    boxes_xyxy = xywh2xyxy(pred[..., :4])  # (B, N, 4)
+    obj = pred[..., 4]
+    cls_scores = pred[..., 5:] * obj[..., None]  # (B, N, nc)
+    if classes is not None:
+        cls_scores = jnp.where(classes[None, None, :], cls_scores, 0.0)
+
+    k = min(max_nms, n * nc if multi_label else n)
+
+    def per_image(bx, cs):
+        if multi_label:
+            flat = cs.reshape(-1)  # (N*nc,)
+            flat = jnp.where(flat > conf_thres, flat, 0.0)
+            scores, idx = jax.lax.top_k(flat, k)
+            box_idx = idx // nc
+            cls_idx = (idx % nc).astype(jnp.float32)
+            cand_boxes = bx[box_idx]
+        else:
+            best_cls = jnp.argmax(cs, axis=-1)
+            best = jnp.max(cs, axis=-1)
+            best = jnp.where(best > conf_thres, best, 0.0)
+            scores, box_idx = jax.lax.top_k(best, k)
+            cls_idx = best_cls[box_idx].astype(jnp.float32)
+            cand_boxes = bx[box_idx]
+        offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx * MAX_WH
+        keep_idx, keep_valid = _nms_single(cand_boxes + offset[:, None], scores, iou_thres, max_det)
+        safe = jnp.maximum(keep_idx, 0)
+        out = jnp.concatenate(
+            [cand_boxes[safe], scores[safe][:, None], cls_idx[safe][:, None]], axis=-1
+        )
+        return jnp.where(keep_valid[:, None], out, 0.0)
+
+    return jax.vmap(per_image)(boxes_xyxy, cls_scores)
+
+
+def soft_nms_scores(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5, max_det: int = 300):
+    """Gaussian soft-NMS score decay (reference: general.py:834-862,
+    available-but-unwired there; provided for parity). Returns decayed
+    scores aligned with input order."""
+    K = boxes.shape[0]
+
+    def body(i, state):
+        scores_live, final = state
+        j = jnp.argmax(scores_live)
+        s = scores_live[j]
+        final = final.at[j].set(s)
+        iou = _iou_row(boxes[j], boxes)
+        decay = jnp.exp(-(iou**2) / sigma)
+        scores_live = scores_live * jnp.where(iou > 0, decay, 1.0)
+        scores_live = scores_live.at[j].set(0.0)
+        return scores_live, final
+
+    final = jnp.zeros_like(scores)
+    _, final = jax.lax.fori_loop(0, min(max_det, K), body, (scores, final))
+    return final

@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers (TPU-native distribution layer).
+
+Design (SURVEY.md §2.10 "TPU-native equivalent"): one
+jax.sharding.Mesh('data', 'model') over all chips. The batch shards on
+'data'; params/optimizer state replicate (pure data parallel — the
+reference's only strategy, via DDP, train.py:207-209). XLA emits the
+gradient all-reduce over ICI during backward — no NCCL, no explicit
+collectives. BatchNorm statistics are computed over the *global* batch
+under jit (mean over a sharded axis lowers to a psum), which reproduces
+the reference's opt-in SyncBN (train.py:165-167) by construction.
+
+The 'model' axis is reserved for spatially- or channel-sharded variants
+(1280px+ drone frames; SURVEY.md §5.7) and has size 1 by default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} mesh != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Leading-axis ('data') sharding for an ndim-array batch."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with the batch axis sharded on
+    'data' (replaces DistributedSampler + .to(device), reference:
+    datasets.py:113, train.py:249)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))), batch
+    )
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

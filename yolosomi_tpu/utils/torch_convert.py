@@ -1,0 +1,135 @@
+"""Torch-checkpoint -> JAX-variables converter (convert-time only).
+
+The reference pickles whole nn.Modules into .pt files and reloads them
+with attempt_load (experimental.py:90-122). This converter maps a torch
+*state_dict* onto our flax variable tree by walking OUR tree and
+deriving the expected torch key for each leaf (SURVEY.md §5.4: "must NOT
+require torch at runtime, only at convert time" — this module only
+handles numpy arrays; loading the .pt happens in tools/convert_torch.py).
+
+Key mapping rules (our path -> torch key):
+    layers_<i>/...           -> model.<i>....
+    .../m<k>/...             -> ....m.<k>....   (module lists)
+    .../cv/conv/kernel       -> ....conv.weight (Conv wrapper: BN'd conv)
+    .../conv/kernel          -> ....weight      (bare ConvRaw, e.g. head convs)
+    .../bn/{scale,bias}      -> ....bn.{weight,bias}
+    .../bn/{mean,var}        -> ....bn.{running_mean,running_var}
+    Dense kernels            -> transposed .weight
+
+Conv kernels transpose OIHW -> HWIO. Unmatched leaves keep their
+initialized values and are reported (the intersect_dicts contract,
+reference train.py:102-108).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.utils.general import LOGGER
+
+_LIST_RE = re.compile(r"^(m|dw|pw|bn_dw|bn_pw)(\d+)$")
+
+
+def _path_to_torch_key(path: List[str], collection: str) -> str:
+    """Translate one of our tree paths to the expected torch state_dict key."""
+    parts = []
+    for p in path[:-1]:
+        if p.startswith("layers_"):
+            parts.append(f"model.{p.split('_')[1]}")
+            continue
+        m = _LIST_RE.match(p)
+        if m:
+            parts.append(f"{m.group(1)}.{m.group(2)}")
+            continue
+        parts.append(p)
+    leaf = path[-1]
+    key = ".".join(parts)
+
+    if collection == "batch_stats":
+        stat = {"mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{key}.{stat}"
+
+    if leaf == "kernel":
+        # our Conv wrapper nests ConvRaw('cv') holding nn.Conv('conv'):
+        # X/cv/conv/kernel <-> torch X.conv.weight. A bare ConvRaw named
+        # 'conv' maps to a raw nn.Conv2d: X/conv/kernel <-> torch X.weight.
+        if key.endswith(".cv.conv"):
+            return key[: -len(".cv.conv")] + ".conv.weight"
+        if key.endswith(".conv"):
+            return key[: -len(".conv")] + ".weight"
+        return key + ".weight"
+    if leaf == "bias":
+        if key.endswith(".cv.conv"):
+            return key[: -len(".cv.conv")] + ".conv.bias"
+        if key.endswith(".conv"):
+            return key[: -len(".conv")] + ".bias"
+        return key + ".bias"
+    if leaf == "scale":  # BatchNorm gamma
+        return key + ".weight"
+    if leaf in ("weight", "w"):  # BiFPN fusion weights
+        return key + "." + leaf
+    return key + "." + leaf
+
+
+def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...]) -> np.ndarray:
+    """Dtype/layout conversion: conv OIHW->HWIO, dense (out,in)->(in,out)."""
+    v = np.asarray(value, np.float32)
+    if v.ndim == 4:
+        v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    elif v.ndim == 2:
+        v = v.T
+    if tuple(v.shape) != tuple(our_shape):
+        raise ValueError(f"shape mismatch {v.shape} vs {our_shape}")
+    return v
+
+
+def convert_state_dict(torch_sd: Dict[str, np.ndarray], variables: dict, strict: bool = False) -> dict:
+    """Fill our variable tree from a torch state_dict (numpy values).
+
+    Returns a new variables dict; logs transfer coverage."""
+    out = {"params": {}, "batch_stats": {}}
+    matched = missed = 0
+    misses: List[str] = []
+
+    for collection in ("params", "batch_stats"):
+        tree = variables.get(collection, {})
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        new_leaves = []
+        for path, leaf in flat:
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            tk = _path_to_torch_key(keys, collection)
+            if tk in torch_sd:
+                try:
+                    new_leaves.append(jnp.asarray(_convert_leaf(torch_sd[tk], leaf.shape)))
+                    matched += 1
+                    continue
+                except ValueError as e:
+                    misses.append(f"{tk}: {e}")
+            else:
+                misses.append(tk)
+            missed += 1
+            new_leaves.append(leaf)
+        out[collection] = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    LOGGER.info(f"torch_convert: matched {matched}, missed {missed} leaves")
+    if misses:
+        LOGGER.info("torch_convert: first misses: " + "; ".join(misses[:8]))
+    if strict and missed:
+        raise KeyError(f"{missed} unmatched leaves, e.g. {misses[:5]}")
+    return out
+
+
+def anchors_from_state_dict(torch_sd: Dict[str, np.ndarray], strides) -> np.ndarray | None:
+    """Recover pixel anchors from a checkpoint's head buffer: the reference
+    stores grid-unit anchors (divided by stride at init, yolo.py:1203)."""
+    for k, v in torch_sd.items():
+        if k.endswith(".anchors"):
+            a = np.asarray(v, np.float32)  # (nl, na, 2) grid units
+            return a * np.asarray(strides, np.float32)[:, None, None]
+    return None

@@ -186,3 +186,19 @@ def test_bundled_config_parses():
     model, meta = build_model(cfg)
     assert meta.strides == (4.0, 8.0, 16.0, 32.0)
     assert meta.nc == 10 and meta.na == 4
+
+
+def test_dcn_config_builds_and_forwards():
+    """BASELINE config 3: DCN-capable flagship builds and runs (tiny width)."""
+    from yolosomi_tpu.utils.config import find_config, load_model_cfg
+
+    cfg = load_model_cfg(find_config("yolo-somi-dcn"))
+    cfg["depth_multiple"] = 0.33
+    cfg["width_multiple"] = 0.125
+    cfg["nc"] = 4
+    model, meta = build_model(cfg)
+    assert meta.strides == (4.0, 8.0, 16.0, 32.0)
+    variables = init_model(model, meta, imgsz=64)
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert len(out) == 4
+    assert all(bool(jnp.isfinite(o).all()) for o in out)

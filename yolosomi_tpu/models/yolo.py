@@ -84,6 +84,25 @@ def register_module(name: str, cls, kind: str = "conv") -> None:
     _REGISTRY[name] = (cls, kind)
 
 
+def _register_dcn():
+    """Deformable family (imported lazily so the model layer stays usable
+    if ops/ grows heavier deps)."""
+    from yolosomi_tpu.ops import dcn
+
+    _REGISTRY.update(
+        {
+            "DCNv2": (dcn.DCNv2, "conv"),
+            "DCNV3": (dcn.DCNv3, "dcnv3"),
+            "DCNv3": (dcn.DCNv3, "dcnv3"),
+            "C3_DCN": (dcn.C3_DCN, "csp"),
+            "C2f_DCN": (dcn.C2f_DCN, "csp"),
+        }
+    )
+
+
+_register_dcn()
+
+
 # Default pixel anchors when the YAML gives `anchors: <int>` and autoanchor
 # has not run. nl=4 values are the SOMI VisDrone set recorded in the
 # reference YAML comments (models/modules/YOLO-SOMI.yaml:10-13); nl=3 is the
@@ -233,6 +252,11 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         elif kind == "plain":
             c2 = in_ch(f)
             mod = cls(*args, dtype=dtype) if args else cls(c2, dtype=dtype)
+        elif kind == "dcnv3":
+            # channel-preserving: force channels = ch[f] so width scaling
+            # cannot desync the YAML arg from the graph
+            c2 = in_ch(f)
+            mod = cls(c2, *args[1:], dtype=dtype)
         elif kind == "upsample":
             c2 = in_ch(f)
             scale = args[1] if len(args) > 1 else 2

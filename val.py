@@ -77,7 +77,9 @@ def run(
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
     confusion = ConfusionMatrix(nc=nc) if plots else None
-    infer = runner.infer_fn(conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det)
+    infer = runner.infer_fn(
+        conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det, augment=augment
+    )
 
     seen = 0
     t_pre = t_inf = t_post = 0.0

@@ -55,15 +55,27 @@ class Runner:
     def stride(self) -> int:
         return int(max(self.meta.strides))
 
-    def infer_fn(self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300):
-        """Jitted (images float NHWC [0,1]) -> (B, max_det, 6) detections."""
-        key = (conf_thres, iou_thres, multi_label, agnostic, max_det)
+    def infer_fn(
+        self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300, augment=False
+    ):
+        """Jitted (images float NHWC [0,1]) -> (B, max_det, 6) detections.
+        `augment=True` runs scale/flip TTA (reference: yolo.py:1253)."""
+        key = (conf_thres, iou_thres, multi_label, agnostic, max_det, augment)
         if key not in self._infer_cache:
 
             @jax.jit
             def fn(variables, images):
-                preds = self.model.apply(variables, images, train=False)
-                dec = decode(preds, self.meta.anchors_px, self.meta.strides)
+                if augment:
+                    from yolosomi_tpu.ops.tta import forward_augment
+
+                    def apply_decode(xi):
+                        preds = self.model.apply(variables, xi, train=False)
+                        return decode(preds, self.meta.anchors_px, self.meta.strides)
+
+                    dec = forward_augment(apply_decode, images, self.meta.nl, gs=self.stride)
+                else:
+                    preds = self.model.apply(variables, images, train=False)
+                    dec = decode(preds, self.meta.anchors_px, self.meta.strides)
                 return non_max_suppression(
                     dec,
                     conf_thres=conf_thres,

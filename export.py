@@ -1,0 +1,192 @@
+"""Export CLI (counterpart of reference export.py).
+
+Formats (the TPU-native equivalents of the reference's export matrix,
+export.py:50-251):
+
+    saved_model : TF SavedModel via jax2tf (replaces models/tf.py's
+                  hand-written Keras re-implementation — jax2tf converts
+                  the real model, no re-port needed)
+    pb          : frozen TF GraphDef
+    tflite      : TFLite flatbuffer (+ --int8 with a representative
+                  dataset for full integer quantization)
+    stablehlo   : StableHLO MLIR text via jax.export (the portable IR —
+                  serves the role of the reference's ONNX path; onnx is
+                  not bundled in this image)
+
+Each export wraps forward + decode; NMS stays outside (like the
+reference's default exports) unless --nms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolosomi_tpu.engine.runner import Runner
+from yolosomi_tpu.utils.general import LOGGER
+
+
+def _build_fn(runner: Runner, nms: bool, conf_thres: float, iou_thres: float):
+    import jax
+
+    from yolosomi_tpu.models.heads import decode
+    from yolosomi_tpu.ops.nms import non_max_suppression
+
+    variables = runner.variables
+
+    def fn(images):
+        preds = runner.model.apply(variables, images, train=False)
+        dec = decode(preds, runner.meta.anchors_px, runner.meta.strides)
+        if nms:
+            return non_max_suppression(dec, conf_thres=conf_thres, iou_thres=iou_thres, max_det=300)
+        return dec
+
+    return fn
+
+
+def export_saved_model(fn, imgsz: int, batch: int, out: Path, native: bool = False):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    # legacy (non-native) lowering emits plain TF ops so the SavedModel is
+    # both TF-Serving- and TFLite-convertible; native serialization wraps
+    # everything in XlaCallModule, which the TFLite converter rejects
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False, native_serialization=native),
+        input_signature=[tf.TensorSpec([batch, imgsz, imgsz, 3], tf.float32)],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.f = tf_fn
+    tf.saved_model.save(module, str(out))
+    LOGGER.info(f"SavedModel: {out}")
+    return out
+
+
+def export_pb(saved_model_dir: Path, out: Path):
+    import tensorflow as tf
+    from tensorflow.python.framework.convert_to_constants import convert_variables_to_constants_v2
+
+    model = tf.saved_model.load(str(saved_model_dir))
+    frozen = convert_variables_to_constants_v2(model.f.get_concrete_function())
+    tf.io.write_graph(frozen.graph.as_graph_def(), str(out.parent), out.name, as_text=False)
+    LOGGER.info(f"GraphDef: {out}")
+    return out
+
+
+def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False, rep_data=None):
+    import tensorflow as tf
+
+    converter = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
+    # jax2tf emits StableHLO (XlaCallModule); modern TFLite carries StableHLO
+    # ops directly — the classic builtin-ops path cannot legalize it
+    converter.target_spec.supported_ops = [tf.lite.OpsSet.EXPERIMENTAL_STABLEHLO_OPS]
+    if int8:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        if rep_data is not None:
+            converter.representative_dataset = rep_data
+    blob = converter.convert()
+    out.write_bytes(blob)
+    LOGGER.info(f"TFLite: {out} ({len(blob) / 1e6:.1f} MB)")
+    return out
+
+
+def export_stablehlo(fn, imgsz: int, batch: int, out: Path):
+    import jax
+    from jax import export as jexport
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), np.float32)
+    )
+    out.write_text(exported.mlir_module())
+    LOGGER.info(f"StableHLO: {out}")
+    return out
+
+
+def representative_dataset_gen(source: str, imgsz: int, n: int = 100):
+    """Int8 calibration feed (reference: export.py representative_dataset_gen)."""
+    import cv2
+
+    from yolosomi_tpu.data.augment import letterbox
+
+    files = sorted(Path(source).glob("*.*"))[:n]
+
+    def gen():
+        for f in files:
+            im = cv2.imread(str(f))
+            if im is None:
+                continue
+            im = letterbox(im, imgsz, auto=False)[0]
+            yield [im[None].astype(np.float32) / 255.0]
+
+    return gen
+
+
+def run(
+    weights=None,
+    cfg="yolo-somi",
+    imgsz=640,
+    batch_size=1,
+    include=("saved_model", "tflite", "stablehlo"),
+    nms=False,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    int8=False,
+    data=None,
+    project="runs/export",
+    name="exp",
+):
+    from yolosomi_tpu.utils.general import increment_path
+
+    t0 = time.time()
+    save_dir = increment_path(Path(project) / name, mkdir=True)
+    runner = Runner(cfg, weights, imgsz=imgsz)
+    fn = _build_fn(runner, nms, conf_thres, iou_thres)
+
+    outputs = []
+    if "stablehlo" in include:
+        outputs.append(export_stablehlo(fn, imgsz, batch_size, save_dir / "model.stablehlo.mlir"))
+    sm_dir = None
+    if {"saved_model", "pb", "tflite"} & set(include):
+        sm_dir = export_saved_model(fn, imgsz, batch_size, save_dir / "saved_model")
+        outputs.append(sm_dir)
+    if "pb" in include and sm_dir:
+        outputs.append(export_pb(sm_dir, save_dir / "model.pb"))
+    if "tflite" in include and sm_dir:
+        rep = representative_dataset_gen(data, imgsz) if (int8 and data) else None
+        outputs.append(export_tflite(sm_dir, save_dir / "model.tflite", int8=int8, rep_data=rep))
+    LOGGER.info(f"export complete ({time.time() - t0:.1f}s): {[str(o) for o in outputs]}")
+    return outputs
+
+
+def parse_opt(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--cfg", type=str, default="yolo-somi")
+    parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--include", nargs="+", default=["saved_model", "tflite", "stablehlo"])
+    parser.add_argument("--nms", action="store_true", help="embed decode+NMS in the export")
+    parser.add_argument("--conf-thres", type=float, default=0.25)
+    parser.add_argument("--iou-thres", type=float, default=0.45)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--data", type=str, default=None, help="images dir for int8 calibration")
+    parser.add_argument("--project", default="runs/export")
+    parser.add_argument("--name", default="exp")
+    parser.add_argument("--device", type=str, default="")
+    return parser.parse_args(argv)
+
+
+def main(opt):
+    opts = vars(opt).copy()
+    from yolosomi_tpu.utils.general import select_device
+
+    select_device(opts.pop("device", ""))
+    run(**opts)
+
+
+if __name__ == "__main__":
+    main(parse_opt())

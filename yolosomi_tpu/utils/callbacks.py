@@ -1,0 +1,48 @@
+"""Callback hook bus (counterpart of reference utils/callbacks.py:7-72).
+
+Same 17 named hooks, synchronous dispatch; loggers register their
+methods against hooks and the trainer fires them by name.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List
+
+
+class Callbacks:
+    _hooks = [
+        "on_pretrain_routine_start",
+        "on_pretrain_routine_end",
+        "on_train_start",
+        "on_train_epoch_start",
+        "on_train_batch_start",
+        "optimizer_step",
+        "on_before_zero_grad",
+        "on_train_batch_end",
+        "on_train_epoch_end",
+        "on_val_start",
+        "on_val_batch_start",
+        "on_val_image_end",
+        "on_val_batch_end",
+        "on_val_end",
+        "on_fit_epoch_end",
+        "on_model_save",
+        "on_train_end",
+        "teardown",
+    ]
+
+    def __init__(self):
+        self._callbacks: Dict[str, List[dict]] = {h: [] for h in self._hooks}
+
+    def register_action(self, hook: str, name: str = "", callback: Callable = None):
+        assert hook in self._callbacks, f"unknown hook '{hook}'"
+        assert callable(callback), "callback must be callable"
+        self._callbacks[hook].append({"name": name, "callback": callback})
+
+    def get_registered_actions(self, hook: str = None):
+        return self._callbacks[hook] if hook else self._callbacks
+
+    def run(self, hook: str, *args: Any, **kwargs: Any) -> None:
+        assert hook in self._callbacks, f"unknown hook '{hook}'"
+        for entry in self._callbacks[hook]:
+            entry["callback"](*args, **kwargs)

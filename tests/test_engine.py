@@ -1,0 +1,133 @@
+"""Engine services tests: optimizer schedules, EMA, early stopping,
+checkpoints, evolve, autobatch (spec: reference train.py:125-148,250-256,
+torch_utils.py:292-349, autobatch.py, train.py:436-503)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.engine.autobatch import autobatch
+from yolosomi_tpu.engine.checkpoint import (
+    checkpoint_variables,
+    load_checkpoint,
+    load_variables,
+    save_checkpoint,
+    strip_checkpoint,
+)
+from yolosomi_tpu.engine.ema import EarlyStopping, ema_init, ema_update
+from yolosomi_tpu.engine.evolve import META, log_generation, mutate
+from yolosomi_tpu.engine.optim import make_optimizer, param_group
+from yolosomi_tpu.engine.trainer import TrainState, create_train_state
+from yolosomi_tpu.utils.config import DEFAULT_HYP
+
+
+def _params():
+    return {
+        "layers_0": {
+            "cv": {"conv": {"kernel": jnp.ones((3, 3, 3, 8))}},
+            "bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        },
+        "head": {"m0": {"conv": {"kernel": jnp.ones((1, 1, 8, 4)), "bias": jnp.zeros(4)}}},
+    }
+
+
+def test_param_group_classification():
+    import jax.tree_util as jtu
+
+    params = _params()
+    groups = jtu.tree_map_with_path(lambda p, _: param_group(p), params)
+    assert groups["layers_0"]["cv"]["conv"]["kernel"] == "weight"
+    assert groups["layers_0"]["bn"]["scale"] == "bn"
+    assert groups["layers_0"]["bn"]["bias"] == "bias"
+    assert groups["head"]["m0"]["conv"]["bias"] == "bias"
+
+
+def test_optimizer_warmup_and_schedule():
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=10, epochs=5, batch_size=8)
+    params = _params()
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # step 0: non-bias LR starts at 0 -> zero update for kernels
+    updates, state = opt.update(grads, state, params)
+    k_update = np.asarray(updates["layers_0"]["cv"]["conv"]["kernel"])
+    b_update = np.asarray(updates["layers_0"]["bn"]["bias"])
+    assert np.allclose(k_update, 0.0)
+    assert not np.allclose(b_update, 0.0)  # bias starts at warmup_bias_lr
+    # after warmup the kernel group moves too
+    for _ in range(5):
+        updates, state = opt.update(grads, state, params)
+    assert int(state.step) == 6
+
+
+def test_ema_decay_ramp():
+    variables = {"params": {"w": jnp.zeros(4)}, "batch_stats": {}}
+    state = ema_init(variables)
+    live = {"params": {"w": jnp.ones(4)}, "batch_stats": {}}
+    state = ema_update(state, live)
+    v1 = float(state.variables["params"]["w"][0])
+    assert 0.99 < v1 <= 1.0  # early updates follow the model closely
+    for _ in range(50):
+        state = ema_update(state, live)
+    assert float(state.variables["params"]["w"][0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_early_stopping():
+    stop = EarlyStopping(patience=3)
+    assert not stop(0, 0.5)
+    assert not stop(1, 0.4)
+    assert not stop(2, 0.3)
+    assert stop(4, 0.2)  # 4 epochs past best
+    stop2 = EarlyStopping(patience=3)
+    assert not stop2(0, 0.5)
+    assert not stop2(2, 0.6)  # new best resets patience
+    assert not stop2(4, 0.5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=4, epochs=2, batch_size=4)
+    variables = {"params": _params(), "batch_stats": {"layers_0": {"bn": {"mean": jnp.zeros(8)}}}}
+    state = create_train_state(variables, opt)
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(p, state, epoch=3, best_fitness=0.42)
+    ckpt = load_checkpoint(p)
+    assert ckpt["epoch"] == 3
+    assert ckpt["best_fitness"] == pytest.approx(0.42)
+    v = checkpoint_variables(ckpt)
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["layers_0"]["cv"]["conv"]["kernel"]), np.ones((3, 3, 3, 8))
+    )
+    # strip: ema promoted, bf16 cast
+    strip_checkpoint(p, tmp_path / "best.msgpack")
+    sv = load_variables(tmp_path / "best.msgpack")
+    assert sv["params"]["layers_0"]["cv"]["conv"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_evolve_mutation_respects_bounds(tmp_path):
+    hyp = dict(DEFAULT_HYP)
+    csv = tmp_path / "evolve.csv"
+    for gen in range(3):
+        hyp_g = mutate(hyp, csv)
+        for k in META:
+            if k in hyp_g:
+                lo, hi = META[k][1], META[k][2]
+                assert lo <= hyp_g[k] <= hi + 1e-9, k
+        log_generation(csv, hyp_g, fitness=0.1 * gen)
+    rows = csv.read_text().strip().splitlines()
+    assert len(rows) == 4  # header + 3 generations
+
+
+def test_autobatch_picks_fitting_size():
+    def make_step(bs):
+        def f(x):
+            return (x @ jnp.ones((64, 64))).sum()
+
+        return f
+
+    def example(bs):
+        return (jnp.zeros((bs, 64)),)
+
+    bs = autobatch(make_step, example, batch_sizes=(1, 2, 4), fraction=0.9)
+    assert bs == 4  # tiny model always fits

@@ -208,6 +208,7 @@ def parse_opt(argv=None):
     parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
+    parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")
     parser.add_argument("--noautoanchor", action="store_true")
     parser.add_argument("--kmean", action="store_true", help="k-means++ autoanchor (reference --kmean)")
@@ -233,6 +234,31 @@ def main(opt):
     hyp = load_hyp(find_config(opt.hyp, "hyps"))
     if opt.label_smoothing:
         hyp["label_smoothing"] = opt.label_smoothing
+    if opt.evolve:
+        # GA over hyps (reference: train.py:436-503): mutate -> short train
+        # -> log fitness -> repeat; plots evolve.png at the end
+        from yolosomi_tpu.engine.evolve import log_generation, mutate
+
+        evolve_dir = Path(opt.project) / "evolve"
+        evolve_dir.mkdir(parents=True, exist_ok=True)
+        evolve_csv = evolve_dir / "evolve.csv"
+        opt.noval, opt.exist_ok = False, True
+        base_name = opt.name
+        best = 0.0
+        for gen in range(int(opt.evolve)):
+            hyp_g = mutate(hyp, evolve_csv)
+            opt.name = f"{base_name}_gen{gen}"
+            fi = train(dict(hyp_g), opt)
+            log_generation(evolve_csv, hyp_g, fi)
+            best = max(best, fi)
+        try:
+            from yolosomi_tpu.utils.plots import plot_evolve
+
+            plot_evolve(evolve_csv)
+        except Exception as e:
+            LOGGER.warning(f"plot_evolve failed: {e}")
+        LOGGER.info(f"evolution complete: best fitness {best:.4f} ({evolve_csv})")
+        return best
     return train(hyp, opt)
 
 

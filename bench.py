@@ -2,9 +2,14 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
 driver. Baseline: 2,000 images/sec/chip (BASELINE.md north star for
-TPU v5e). Measures forward + decode + on-device NMS (the full detect.py
-inference path, reference: detect.py:148-201) in bf16 at the best batch
-size from a small sweep.
+TPU v5e). Measures the full detect path (forward + decode + on-device
+NMS, reference: detect.py:148-201) in bf16.
+
+Timing methodology: the jitted program ends in a 4-byte scalar reduction
+that is fetched to host every iteration. Through the remote TPU tunnel,
+`block_until_ready` returns before remote execution finishes, so only a
+data dependency gives honest wall times (verified against a known-FLOPs
+matmul).
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import jax.numpy as jnp
 BASELINE_IMG_S = 2000.0
 
 
-def bench(imgsz: int = 640, batches=(16, 32, 64), iters: int = 20) -> float:
+def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
     from yolosomi_tpu.models.heads import decode
     from yolosomi_tpu.models.yolo import build_model
     from yolosomi_tpu.ops.nms import non_max_suppression
@@ -33,27 +38,26 @@ def bench(imgsz: int = 640, batches=(16, 32, 64), iters: int = 20) -> float:
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
 
     @jax.jit
-    def infer(variables, images):
+    def infer_sum(variables, images):
         preds = model.apply(variables, images, train=False)
         dec = decode(preds, meta.anchors_px, meta.strides)
-        return non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        out = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        return jnp.sum(out)  # scalar fetch forces completion
 
     best = 0.0
     for b in batches:
         try:
             images = jnp.asarray(np.random.rand(b, imgsz, imgsz, 3).astype(np.float32))
-            out = infer(variables, images)
-            jax.block_until_ready(out)  # compile + warmup
-            out = infer(variables, images)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
+            float(infer_sum(variables, images))  # compile + warm
+            ts = []
             for _ in range(iters):
-                out = infer(variables, images)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            ips = b * iters / dt
+                t0 = time.perf_counter()
+                float(infer_sum(variables, images))
+                ts.append(time.perf_counter() - t0)
+            ips = b / float(np.median(ts))
+            print(f"# batch {b}: {np.median(ts) * 1000:.1f} ms/batch -> {ips:.1f} img/s")
             best = max(best, ips)
-        except Exception as e:  # OOM at large batch: keep best so far
+        except Exception as e:
             print(f"# batch {b} failed: {e}")
             break
     return best

@@ -202,3 +202,19 @@ def test_dcn_config_builds_and_forwards():
     out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert len(out) == 4
     assert all(bool(jnp.isfinite(o).all()) for o in out)
+
+
+def test_capture_and_inject(v5):
+    """Graph hooks for Grad-CAM: capture returns layer output; inject
+    replaces it and changes the prediction."""
+    model, meta, variables = v5
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    out, feat = model.apply(variables, x, train=False, capture=9)
+    assert feat is not None and feat.ndim == 4
+    out2 = model.apply(variables, x, train=False, inject={9: feat * 0.0})
+    base = model.apply(variables, x, train=False)
+    # zeroing the SPPF output must change downstream predictions
+    assert not np.allclose(np.asarray(out2[-1]), np.asarray(base[-1]))
+    # injecting the captured value reproduces the baseline
+    out3 = model.apply(variables, x, train=False, inject={9: feat})
+    np.testing.assert_allclose(np.asarray(out3[-1]), np.asarray(base[-1]), atol=1e-6)

@@ -352,8 +352,13 @@ class DetectionModel(nn.Module):
     head_from: Tuple[int, ...]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, capture: Optional[int] = None, inject=None):
+        """Run the graph. `capture=i` additionally returns layer i's output;
+        `inject={i: array}` replaces layer i's output (both power the
+        Grad-CAM suite — the functional analogue of the reference's
+        forward hooks, yolo-gradcam/yolov5_heatmap.py:22-80)."""
         saved: Dict[int, jax.Array] = {}
+        captured = None
         prev = x
         n = len(self.layers)
         for i, (m, f) in enumerate(zip(self.layers, self.froms)):
@@ -365,8 +370,14 @@ class DetectionModel(nn.Module):
             else:
                 inp = [prev if j == -1 else saved[j if j >= 0 else i + j] for j in f]
             prev = m(inp, train)
+            if inject is not None and i in inject:
+                prev = inject[i]
+            if capture == i:
+                captured = prev
             if i in self.save:
                 saved[i] = prev
+        if capture is not None:
+            return prev, captured
         return prev
 
 

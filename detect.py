@@ -66,7 +66,13 @@ def run(
     hide_labels=False,
     hide_conf=False,
     names=None,
+    data=None,
+    augment=False,
 ):
+    if names is None and data:
+        from yolosomi_tpu.utils.config import find_config, load_data_cfg
+
+        names = load_data_cfg(find_config(data, "data")).get("names")
     save_img = not nosave
     # validate the source BEFORE the (slow) model build/compile
     src = Path(source)
@@ -95,7 +101,8 @@ def run(
         x = img[None].astype(np.float32) / 255.0
         t1 = time.time()
         infer = runner.infer_fn(
-            conf_thres=conf_thres, iou_thres=iou_thres, agnostic=agnostic_nms, max_det=max_det
+            conf_thres=conf_thres, iou_thres=iou_thres, agnostic=agnostic_nms, max_det=max_det,
+            augment=augment,
         )
         det = np.asarray(infer(runner.variables, x))[0]
         t2 = time.time()
@@ -173,6 +180,8 @@ def parse_opt(argv=None):
     parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
     parser.add_argument("--hide-labels", action="store_true")
     parser.add_argument("--hide-conf", action="store_true")
+    parser.add_argument("--data", type=str, default=None, help="data yaml for class names")
+    parser.add_argument("--augment", action="store_true", help="TTA inference")
     return parser.parse_args(argv)
 
 

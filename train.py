@@ -125,7 +125,17 @@ def train(hyp: dict, opt) -> float:
     loss_fn.rep = opt.rep
 
     mesh = create_mesh()
-    train_step = make_train_step(model, loss_fn, optimizer, mesh=mesh)
+    gs = int(max(meta.strides))
+    if opt.multi_scale:
+        # quantized multi-scale sizes, one compiled program each (the
+        # TPU-shaped version of the reference's per-batch +-50% jitter)
+        sizes = sorted({max(int(imgsz * f) // gs * gs, gs) for f in (0.67, 0.83, 1.0, 1.17, 1.33)})
+        train_steps = {s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s) for s in sizes}
+        LOGGER.info(f"multi-scale sizes: {sizes}")
+    else:
+        train_steps = {imgsz: make_train_step(model, loss_fn, optimizer, mesh=mesh)}
+    import random as _random
+
     with mesh:
         state = replicate_tree(state, mesh)
 
@@ -150,7 +160,8 @@ def train(hyp: dict, opt) -> float:
                 batch = shard_batch(
                     {"images": images.astype(np.float32) / 255.0, "targets": targets}, mesh
                 )
-                state, metrics = train_step(state, batch["images"], batch["targets"])
+                step_fn = train_steps[_random.choice(list(train_steps))]
+                state, metrics = step_fn(state, batch["images"], batch["targets"])
                 if i % max(nb // 10, 1) == 0:
                     m = jax.device_get(metrics)
                     mloss = (mloss * i + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (i + 1)
@@ -207,6 +218,7 @@ def parse_opt(argv=None):
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
     parser.add_argument("--rect", action="store_true")
+    parser.add_argument("--multi-scale", action="store_true", help="quantized multi-scale training")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")

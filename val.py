@@ -191,8 +191,28 @@ def parse_opt(argv=None):
 def main(opt):
     opts = vars(opt).copy()
     from yolosomi_tpu.utils.general import select_device
+
     select_device(opts.pop("device", ""))
-    run(**opts)
+    task = opts.get("task", "val")
+    if task in ("train", "val", "test"):
+        return run(**opts)
+    if task == "speed":
+        # speed benchmark protocol (reference: val.py:292-295)
+        opts.update(task="val", conf_thres=0.25, iou_thres=0.45, save_json=False, plots=False)
+        return run(**opts)
+    if task == "study":
+        # accuracy-vs-size sweep (reference: val.py:296-301)
+        results = []
+        for imgsz in range(256, 1536 + 128, 128):
+            LOGGER.info(f"study: imgsz {imgsz}")
+            o = dict(opts, task="val", imgsz=imgsz, plots=False)
+            r, _, spd = run(**o)
+            results.append([imgsz, *r[:4], *spd])
+        out = Path(f"study_{Path(str(opts['data'])).stem}_{opts['cfg']}.txt".replace("/", "_"))
+        np.savetxt(out, np.array(results), fmt="%10.4g")
+        LOGGER.info(f"study results saved to {out}")
+        return results
+    raise ValueError(f"unknown task {task}")
 
 
 if __name__ == "__main__":

@@ -41,14 +41,24 @@ def create_train_state(variables, optimizer) -> TrainState:
     )
 
 
-def make_train_step(model, loss_fn: Callable, optimizer, mesh=None):
+def make_train_step(model, loss_fn: Callable, optimizer, mesh=None, scale_to: Optional[int] = None):
     """Build the jitted train step.
 
     loss_fn(preds, targets) -> (total, components). images are NHWC float
     (already /255 normalized); targets (B, M, 5) padded.
+
+    `scale_to`: resize images to this square size inside the step — the
+    TPU-native multi-scale jitter (reference resizes every batch by a
+    random +-50% factor, train.py:257-262; here the trainer pre-builds one
+    program per quantized size and picks per batch, labels are
+    normalized so they need no adjustment).
     """
 
     def train_step(state: TrainState, images, targets):
+        if scale_to is not None and scale_to != images.shape[1]:
+            b, _, _, c = images.shape
+            images = jax.image.resize(images, (b, scale_to, scale_to, c), method="bilinear")
+
         def loss_of(params):
             preds, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

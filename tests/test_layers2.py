@@ -1,0 +1,57 @@
+"""Tier-2 zoo shape/finite tests (spec: reference common.py families)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.models import layers as L
+
+
+def _run(mod, x, train=False):
+    variables = mod.init(jax.random.PRNGKey(0), x, train)
+    out = mod.apply(variables, x, train, mutable=["batch_stats"] if train else False)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def test_c3tr():
+    x = jnp.ones((1, 8, 8, 16))
+    y = _run(L.C3TR(16, n=1), x)
+    assert y.shape == (1, 8, 8, 16) and bool(jnp.isfinite(y).all())
+
+
+def test_c3ghost():
+    x = jnp.ones((1, 8, 8, 16))
+    y = _run(L.C3Ghost(16, n=1), x)
+    assert y.shape == (1, 8, 8, 16)
+
+
+def test_simam_gates():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    y = _run(L.SimAM(), x)
+    assert y.shape == x.shape
+    # gated output magnitude bounded by input
+    assert float(jnp.abs(y).max()) <= float(jnp.abs(x).max()) + 1e-6
+
+
+def test_coorattention():
+    x = jnp.ones((1, 8, 8, 32))
+    y = _run(L.CoorAttention(32), x)
+    assert y.shape == x.shape
+
+
+def test_sppcspc():
+    x = jnp.ones((1, 8, 8, 32))
+    y = _run(L.SPPCSPC(32), x)
+    assert y.shape == (1, 8, 8, 32)
+
+
+def test_classify():
+    x = jnp.ones((2, 8, 8, 16))
+    y = _run(L.Classify(10), x)
+    assert y.shape == (2, 10)
+
+
+def test_transformer_block():
+    x = jnp.ones((1, 4, 4, 16))
+    y = _run(L.TransformerBlock(16, num_heads=4, n=1), x)
+    assert y.shape == (1, 4, 4, 16)

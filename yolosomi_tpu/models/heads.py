@@ -137,9 +137,10 @@ def decode_level(p: jax.Array, anchors_px: jax.Array, stride: float) -> jax.Arra
     xy = (y[..., 0:2] * 2.0 - 0.5 + mesh) * stride
     wh = jnp.square(y[..., 2:4] * 2.0) * anchors_px.reshape(1, 1, 1, na, 2)
     out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
-    # flatten in the reference's order: (na, ny, nx) row-major per level
-    out = out.transpose(0, 3, 1, 2, 4).reshape(b, na * ny * nx, no)
-    return out
+    # flatten (ny, nx, na) row-major: a free reshape. The reference orders
+    # rows (na, ny, nx) (yolo.py:97) — NMS and mAP are row-order invariant,
+    # and the transpose would materialize a full copy of the decode output.
+    return out.reshape(b, ny * nx * na, no)
 
 
 def decode(preds: Sequence[jax.Array], anchors_px, strides) -> jax.Array:

@@ -783,3 +783,168 @@ class Expand(nn.Module):
         x = x.reshape(b, h, w, g, g, c // (g * g))
         x = x.transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, h * g, w * g, c // (g * g))
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: transformers, extra attention, CSP variants
+# ---------------------------------------------------------------------------
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free transformer layer (reference: common.py:1023-1049:
+    q/k/v linears + MHA + two linears, residual adds)."""
+
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, C)
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+
+        def split(t):
+            return t.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)) / jnp.sqrt(hd).astype(x.dtype), axis=-1
+        )
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, split(v)).transpose(0, 2, 1, 3).reshape(B, N, C)
+        x = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="ma_out")(out) + x
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        return nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """Vision-transformer block over flattened spatial positions with a
+    learned position embedding (reference: common.py:1052-1078)."""
+
+    c2: int
+    num_heads: int = 4
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, dtype=self.dtype, name="conv")(x, train)
+        B, H, W, C = x.shape
+        p = x.reshape(B, H * W, C)
+        p = p + nn.Dense(C, dtype=self.dtype, name="linear")(p)  # learned pos encoding
+        for i in range(self.n):
+            p = TransformerLayer(C, self.num_heads, dtype=self.dtype, name=f"tr{i}")(p)
+        return p.reshape(B, H, W, C)
+
+
+class C3TR(C3):
+    """C3 whose bottleneck stack is a TransformerBlock (reference:
+    common.py:1623-1630)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3Ghost(C3):
+    """C3 with Ghost bottlenecks (reference: common.py:1798)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, 3, 1, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class SimAM(nn.Module):
+    """Parameter-free SimAM attention (reference: common.py:2915-2960):
+    energy-based per-neuron weighting, sigmoid gate."""
+
+    e_lambda: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w - 1
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        d = jnp.square(x - mu)
+        v = jnp.sum(d, axis=(1, 2), keepdims=True) / n
+        e_inv = d / (4 * (v + self.e_lambda)) + 0.5
+        return x * jax.nn.sigmoid(e_inv)
+
+
+class CoorAttention(nn.Module):
+    """Coordinate attention (reference: common.py:1399-1460): pooled h/w
+    profiles -> shared 1x1 conv -> split h/w sigmoid gates."""
+
+    c2: int
+    reduction: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        mip = max(8, c // self.reduction)
+        ph = jnp.mean(x, axis=2)  # (B, H, C)
+        pw = jnp.mean(x, axis=1)  # (B, W, C)
+        y = jnp.concatenate([ph, pw], axis=1)[:, :, None, :]  # (B, H+W, 1, C)
+        y = ConvRaw(mip, 1, use_bias=True, dtype=self.dtype, name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn1")(y)
+        y = nn.activation.hard_swish(y)
+        yh, yw = y[:, :h], y[:, h:]
+        gh = jax.nn.sigmoid(ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv_h")(yh))  # (B,H,1,C)
+        gw = jax.nn.sigmoid(ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv_w")(yw))  # (B,W,1,C)
+        return x * gh[:, :, 0, :][:, :, None, :] * gw[:, :, 0, :][:, None, :, :]
+
+
+class SPPCSPC(nn.Module):
+    """CSP-style SPP (YOLOv7; reference: common.py:1908-1927)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv4")(x1, train)
+        pools = [x1] + [_maxpool(x1, k) for k in self.k]
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(pools, axis=-1), train)
+        y1 = Conv(c_, 3, 1, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv7")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class Classify(nn.Module):
+    """Classification head: GAP + conv + flatten (reference: common.py:2321)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate([jnp.mean(xi, axis=(1, 2)) for xi in x], axis=-1)
+        else:
+            x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.c2, dtype=self.dtype, name="linear")(x)

@@ -59,6 +59,13 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "SE": (L.SE, "plain"),
     "se_block": (L.SE, "plain"),
     "BottleneckCSP": (L.BottleneckCSP, "csp"),
+    "C3TR": (L.C3TR, "csp"),
+    "C3Ghost": (L.C3Ghost, "csp"),
+    "SPPCSPC": (L.SPPCSPC, "csp"),
+    "TransformerBlock": (L.TransformerBlock, "conv"),
+    "SimAM": (L.SimAM, "plain"),
+    "CoorAttention": (L.CoorAttention, "conv"),
+    "Classify": (L.Classify, "conv"),
     "C3": (L.C3, "csp"),
     "C2f": (L.C2f, "csp"),
     "C2fCBAM": (L.C2fCBAM, "csp"),

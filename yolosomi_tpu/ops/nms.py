@@ -107,11 +107,17 @@ def non_max_suppression(
 
     k = min(max_nms, n * nc if multi_label else n)
 
+    # candidate selection: approx_max_k uses the TPU's partial-sort unit and
+    # is exact on CPU; recall loss only matters beyond ~k candidates above
+    # threshold, where mAP contribution is negligible
+    def _topk(v, kk):
+        return jax.lax.approx_max_k(v, kk, recall_target=0.95)
+
     def per_image(bx, cs):
         if multi_label:
             flat = cs.reshape(-1)  # (N*nc,)
             flat = jnp.where(flat > conf_thres, flat, 0.0)
-            scores, idx = jax.lax.top_k(flat, k)
+            scores, idx = _topk(flat, k)
             box_idx = idx // nc
             cls_idx = (idx % nc).astype(jnp.float32)
             cand_boxes = bx[box_idx]
@@ -119,7 +125,7 @@ def non_max_suppression(
             best_cls = jnp.argmax(cs, axis=-1)
             best = jnp.max(cs, axis=-1)
             best = jnp.where(best > conf_thres, best, 0.0)
-            scores, box_idx = jax.lax.top_k(best, k)
+            scores, box_idx = _topk(best, k)
             cls_idx = best_cls[box_idx].astype(jnp.float32)
             cand_boxes = bx[box_idx]
         offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx * MAX_WH

@@ -241,8 +241,24 @@ def parse_opt(argv=None):
 
 
 def main(opt):
-    from yolosomi_tpu.utils.general import select_device
+    from yolosomi_tpu.utils.general import get_latest_run, select_device
+
     select_device(getattr(opt, "device", ""))
+    if opt.resume and not opt.weights:
+        # bare --resume: pick the most recent run and restore its opt.yaml
+        # (reference: train.py:406-412 + get_latest_run)
+        last = opt.resume if isinstance(opt.resume, str) else get_latest_run(opt.project)
+        assert last, f"no last.ckpt found under {opt.project} to resume"
+        import yaml as _yaml
+
+        opt_yaml = Path(last).parents[1] / "opt.yaml"
+        if opt_yaml.exists():
+            saved = _yaml.safe_load(opt_yaml.read_text())
+            for k, v in saved.items():
+                if k not in ("resume", "weights", "exist_ok") and hasattr(opt, k):
+                    setattr(opt, k, v)
+        opt.weights, opt.exist_ok = str(last), True
+        LOGGER.info(f"resuming from {last}")
     hyp = load_hyp(find_config(opt.hyp, "hyps"))
     if opt.label_smoothing:
         hyp["label_smoothing"] = opt.label_smoothing

@@ -464,3 +464,153 @@ class LoadImages:
             assert im0 is not None, f"image not found {path}"
         img = A.letterbox(im0, self.img_size, stride=self.stride, auto=self.auto)[0]
         return path, np.ascontiguousarray(img), im0, self.cap
+
+
+# ---------------------------------------------------------------------------
+# Dataset utilities (reference: datasets.py:882-1050)
+# ---------------------------------------------------------------------------
+
+
+def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False, seed: int = 0):
+    """Write autosplit_{train,val,test}.txt next to the dataset
+    (reference: datasets.py:924-946)."""
+    files = list_images(path)
+    if annotated_only:
+        files = [f for f, l in zip(files, img2label_paths(files)) if os.path.exists(l)]
+    rng = np.random.default_rng(seed)
+    choice = rng.choice(3, size=len(files), p=list(weights))
+    root = Path(path)
+    names = ["autosplit_train.txt", "autosplit_val.txt", "autosplit_test.txt"]
+    for n in names:
+        (root.parent / n).unlink(missing_ok=True)
+    for f, c in zip(files, choice):
+        with open(root.parent / names[c], "a") as fh:
+            fh.write("./" + os.path.relpath(f, root.parent) + "\n")
+    return [root.parent / n for n in names]
+
+
+def extract_boxes(path, out_dir=None):
+    """Crop every labeled box into a per-class classification dataset
+    (reference: datasets.py:890-921)."""
+    files = list_images(path)
+    labels = img2label_paths(files)
+    out = Path(out_dir) if out_dir else Path(path).parent / "classifier"
+    n = 0
+    for imf, lbf in zip(files, labels):
+        if not os.path.exists(lbf):
+            continue
+        im = cv2.imread(imf)
+        if im is None:
+            continue
+        h, w = im.shape[:2]
+        rows = np.array([x.split() for x in open(lbf).read().strip().splitlines()], np.float32)
+        for j, row in enumerate(rows):
+            c = int(row[0])
+            d = out / str(c)
+            d.mkdir(parents=True, exist_ok=True)
+            b = row[1:5] * [w, h, w, h]
+            bw, bh = b[2] * 1.2 + 3, b[3] * 1.2 + 3  # 20% pad (reference :909-911)
+            x1 = int(max(b[0] - bw / 2, 0)); x2 = int(min(b[0] + bw / 2, w))
+            y1 = int(max(b[1] - bh / 2, 0)); y2 = int(min(b[1] + bh / 2, h))
+            if x2 > x1 and y2 > y1:
+                cv2.imwrite(str(d / f"{Path(imf).stem}_{j}.jpg"), im[y1:y2, x1:x2])
+                n += 1
+    LOGGER.info(f"extract_boxes: wrote {n} crops to {out}")
+    return out
+
+
+def dataset_stats(data_cfg: dict, out_json=None) -> dict:
+    """Per-split instance/label statistics JSON (reference: datasets.py:998-1050)."""
+    import json
+
+    stats = {}
+    for split in ("train", "val", "test"):
+        p = data_cfg.get(split)
+        if not p:
+            stats[split] = None
+            continue
+        try:
+            files = list_images(p)
+        except FileNotFoundError:
+            stats[split] = None
+            continue
+        labels = []
+        for lb in img2label_paths(files):
+            if os.path.exists(lb):
+                rows = [x.split() for x in open(lb).read().strip().splitlines() if x]
+                labels.append(np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32))
+            else:
+                labels.append(np.zeros((0, 5), np.float32))
+        nc = int(data_cfg.get("nc", 80))
+        x = np.array([np.bincount(l[:, 0].astype(int), minlength=nc) for l in labels])
+        stats[split] = {
+            "instance_stats": {"total": int(x.sum()), "per_class": x.sum(0).tolist()},
+            "image_stats": {
+                "total": len(files),
+                "unlabelled": int(np.all(x == 0, 1).sum()),
+                "per_class": (x > 0).sum(0).tolist(),
+            },
+        }
+    if out_json:
+        Path(out_json).write_text(json.dumps(stats, indent=2))
+    return stats
+
+
+def flatten_recursive(path, out_dir=None):
+    """Copy a nested tree into one flat directory (reference: datasets.py:882-888)."""
+    import shutil
+
+    out = Path(out_dir) if out_dir else Path(str(path) + "_flat")
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for f in Path(path).rglob("*.*"):
+        if f.is_file():
+            shutil.copy(f, out / f.name)
+            n += 1
+    LOGGER.info(f"flatten_recursive: copied {n} files to {out}")
+    return out
+
+
+class LoadStreams:
+    """Multi-source stream loader: RTSP/HTTP/webcam, one reader thread per
+    stream (reference: datasets.py:301-395). Yields batched letterboxed
+    frames."""
+
+    def __init__(self, sources, img_size: int = 640, stride: int = 32):
+        if isinstance(sources, str) and os.path.isfile(sources) and sources.endswith(".txt"):
+            sources = [s.strip() for s in open(sources).read().splitlines() if s.strip()]
+        elif isinstance(sources, str):
+            sources = [sources]
+        self.sources = sources
+        self.img_size = img_size
+        self.stride = stride
+        self.imgs = [None] * len(sources)
+        self.threads = []
+        self.running = True
+        for i, s in enumerate(sources):
+            cap = cv2.VideoCapture(int(s) if s.isdigit() else s)
+            assert cap.isOpened(), f"failed to open stream {s}"
+            ok, self.imgs[i] = cap.read()
+            assert ok, f"failed to read from {s}"
+            t = threading.Thread(target=self._reader, args=(i, cap), daemon=True)
+            t.start()
+            self.threads.append(t)
+
+    def _reader(self, i: int, cap):
+        while self.running and cap.isOpened():
+            ok, frame = cap.read()
+            if ok:
+                self.imgs[i] = frame
+            else:
+                break
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        frames = [im.copy() for im in self.imgs]
+        batch = np.stack([A.letterbox(f, self.img_size, stride=self.stride, auto=False)[0] for f in frames])
+        return self.sources, batch, frames, None
+
+    def close(self):
+        self.running = False

@@ -355,3 +355,31 @@ def pad_targets(label_list, max_labels: int):
         if n:
             out[i, :n] = lab[:n, :5]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Additional loss modulations from the reference's library (loss.py:18-110)
+# ---------------------------------------------------------------------------
+
+
+def bce_blur_modulation(loss, logits, targets, alpha: float = 0.05):
+    """BCEBlurWithLogitsLoss: down-weight missing-label false positives
+    (reference: loss.py:18-33)."""
+    pred = jax.nn.sigmoid(logits)
+    dx = pred - targets
+    alpha_factor = 1 - jnp.exp((dx - 1) / (alpha + 1e-4))
+    return loss * alpha_factor
+
+
+def vf_modulation(loss, logits, targets, gamma: float = 1.5, alpha: float = 0.25):
+    """Varifocal weighting (reference: loss.py:62-84)."""
+    pred = jax.nn.sigmoid(logits)
+    w = targets * (targets > 0.0) + alpha * jnp.power(jnp.abs(pred - targets), gamma) * (targets <= 0.0)
+    return loss * w
+
+
+def qfocal_modulation(loss, logits, targets, gamma: float = 1.5, alpha: float = 0.25):
+    """Quality focal weighting (reference: loss.py:86-110)."""
+    pred = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    return loss * alpha_factor * jnp.power(jnp.abs(targets - pred), gamma)

@@ -131,3 +131,43 @@ def test_autobatch_picks_fitting_size():
 
     bs = autobatch(make_step, example, batch_sizes=(1, 2, 4), fraction=0.9)
     assert bs == 4  # tiny model always fits
+
+
+def test_grad_accumulation_steps_on_boundary():
+    """With accumulate=2, params change only every second call and match a
+    single step on the summed gradients."""
+    from flax import linen as nn
+    from yolosomi_tpu.engine.trainer import make_train_step
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return [nn.Dense(2, use_bias=False)(x)[:, None, None, :, None]]
+
+    model = Lin()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+
+    def loss_fn(preds, targets):
+        return jnp.sum(preds[0] ** 2), jnp.zeros(3)
+
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=2, epochs=2, batch_size=4)
+    state = create_train_state(dict(variables), opt, accumulate=2)
+    step = make_train_step(model, loss_fn, opt, accumulate=2)
+
+    x = jnp.ones((4, 3))
+    t = jnp.zeros((4, 1, 5))
+    p0 = jax.device_get(state.params)
+    state, _ = step(state, x, t)
+    p1 = jax.device_get(state.params)
+    # first call: no optimizer step, accumulator holds the gradient sum
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b)
+    assert int(state.opt_state.step) == 0
+    acc1 = jax.tree_util.tree_leaves(jax.device_get(state.grad_accum))
+    assert any(np.abs(a).sum() > 0 for a in acc1)
+    state, _ = step(state, x, t)
+    # boundary: optimizer stepped once, accumulator reset
+    assert int(state.opt_state.step) == 1
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(state.grad_accum)):
+        np.testing.assert_allclose(leaf, 0.0)

@@ -116,10 +116,14 @@ def train(hyp: dict, opt) -> float:
             start_epoch = int(ckpt.get("epoch", -1)) + 1
             best_fitness = float(ckpt.get("best_fitness", 0.0))
 
+    # grad accumulation to nominal batch 64 (reference: train.py:119-123)
+    nbs = 64
+    accumulate = max(round(nbs / opt.batch_size), 1) if opt.accumulate else 1
     optimizer = make_optimizer(
-        hyp, nb=nb, epochs=opt.epochs, batch_size=opt.batch_size, adam=opt.adam, linear_lr=opt.linear_lr
+        hyp, nb=max(nb // accumulate, 1), epochs=opt.epochs, batch_size=opt.batch_size,
+        accumulate=accumulate, adam=opt.adam, linear_lr=opt.linear_lr,
     )
-    state = create_train_state(dict(variables), optimizer)
+    state = create_train_state(dict(variables), optimizer, accumulate=accumulate)
 
     loss_fn = ComputeLoss(meta, hyp)
     loss_fn.rep = opt.rep
@@ -130,10 +134,13 @@ def train(hyp: dict, opt) -> float:
         # quantized multi-scale sizes, one compiled program each (the
         # TPU-shaped version of the reference's per-batch +-50% jitter)
         sizes = sorted({max(int(imgsz * f) // gs * gs, gs) for f in (0.67, 0.83, 1.0, 1.17, 1.33)})
-        train_steps = {s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s) for s in sizes}
+        train_steps = {
+            s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate)
+            for s in sizes
+        }
         LOGGER.info(f"multi-scale sizes: {sizes}")
     else:
-        train_steps = {imgsz: make_train_step(model, loss_fn, optimizer, mesh=mesh)}
+        train_steps = {imgsz: make_train_step(model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate)}
     import random as _random
 
     with mesh:
@@ -219,6 +226,7 @@ def parse_opt(argv=None):
     parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("--multi-scale", action="store_true", help="quantized multi-scale training")
+    parser.add_argument("--accumulate", action="store_true", help="gradient accumulation to nominal batch 64")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")

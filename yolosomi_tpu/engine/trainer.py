@@ -27,9 +27,10 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: EMAState
     step: jax.Array
+    grad_accum: Any = None  # grad sum buffer when accumulate > 1
 
 
-def create_train_state(variables, optimizer) -> TrainState:
+def create_train_state(variables, optimizer, accumulate: int = 1) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -38,10 +39,13 @@ def create_train_state(variables, optimizer) -> TrainState:
         opt_state=optimizer.init(params),
         ema=ema_init({"params": params, "batch_stats": batch_stats}),
         step=jnp.zeros((), jnp.int32),
+        grad_accum=jax.tree_util.tree_map(jnp.zeros_like, params) if accumulate > 1 else None,
     )
 
 
-def make_train_step(model, loss_fn: Callable, optimizer, mesh=None, scale_to: Optional[int] = None):
+def make_train_step(
+    model, loss_fn: Callable, optimizer, mesh=None, scale_to: Optional[int] = None, accumulate: int = 1
+):
     """Build the jitted train step.
 
     loss_fn(preds, targets) -> (total, components). images are NHWC float
@@ -70,10 +74,33 @@ def make_train_step(model, loss_fn: Callable, optimizer, mesh=None, scale_to: Op
             return loss, (comps, mutated["batch_stats"])
 
         (loss, (comps, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = ema_update(state.ema, {"params": new_params, "batch_stats": new_bs})
-        new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1)
+        if accumulate > 1:
+            # accumulate gradient sums and step every `accumulate` calls
+            # (reference: train.py:271-277 — step + EMA update on boundary)
+            acc = jax.tree_util.tree_map(lambda a, g: a + g, state.grad_accum, grads)
+            boundary = (state.step + 1) % accumulate == 0
+
+            def apply_branch(op):
+                params, opt_state, acc_in, ema = op
+                updates, new_opt = optimizer.update(acc_in, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                new_ema = ema_update(ema, {"params": new_params, "batch_stats": new_bs})
+                return new_params, new_opt, jax.tree_util.tree_map(jnp.zeros_like, acc_in), new_ema
+
+            def skip_branch(op):
+                params, opt_state, acc_in, ema = op
+                # keep EMA tree structure identical across branches
+                return params, opt_state, acc_in, EMAState(ema.variables, ema.updates)
+
+            new_params, new_opt, new_acc, new_ema = jax.lax.cond(
+                boundary, apply_branch, skip_branch, (state.params, state.opt_state, acc, state.ema)
+            )
+            new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1, new_acc)
+        else:
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = ema_update(state.ema, {"params": new_params, "batch_stats": new_bs})
+            new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1, state.grad_accum)
         metrics = {
             "loss": loss,
             "lbox": comps[0],

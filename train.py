@@ -158,10 +158,17 @@ def train(hyp: dict, opt) -> float:
 
     t0 = time.time()
     final_epoch = start_epoch
+    maps = np.zeros(nc)  # per-class mAP for image-weight sampling
     for epoch in range(start_epoch, opt.epochs):
         final_epoch = epoch
         mloss = np.zeros(3)
         t_ep = time.time()
+        if opt.image_weights:
+            # class-error-weighted image sampling (reference: train.py:236-241)
+            from yolosomi_tpu.utils.general import labels_to_class_weights, labels_to_image_weights
+
+            cw = labels_to_class_weights(train_ds.labels, nc) * (1 - maps) ** 2 / nc
+            train_loader.sample_weights = labels_to_image_weights(train_ds.labels, nc, cw)
         with mesh:
             for i, (images, targets, _, _) in enumerate(train_loader):
                 batch = shard_batch(
@@ -183,7 +190,7 @@ def train(hyp: dict, opt) -> float:
             ema_vars = jax.device_get(ema_variables(state))
             val_runner.variables = jax.tree_util.tree_map(jnp.asarray, ema_vars)
             val_runner._infer_cache = {}
-            results, _, _ = validate.run(
+            results, maps, _ = validate.run(
                 data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
                 project=str(save_dir), name="val", exist_ok=True, names=names,
                 single_cls=opt.single_cls,
@@ -227,6 +234,7 @@ def parse_opt(argv=None):
     parser.add_argument("--rect", action="store_true")
     parser.add_argument("--multi-scale", action="store_true", help="quantized multi-scale training")
     parser.add_argument("--accumulate", action="store_true", help="gradient accumulation to nominal batch 64")
+    parser.add_argument("--image-weights", action="store_true", help="class-error-weighted image sampling")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")

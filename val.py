@@ -76,6 +76,7 @@ def run(
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
+    jdict = []  # COCO-format prediction records (reference: val.py:220-241)
     confusion = ConfusionMatrix(nc=nc) if plots else None
     infer = runner.infer_fn(
         conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det, augment=augment
@@ -121,6 +122,19 @@ def run(
                 with open(save_dir / "labels" / (Path(paths[si]).stem + ".txt"), "a") as f:
                     for row in det:
                         f.write(f"{int(row[5])} " + " ".join(f"{v:.2f}" for v in row[:5]) + "\n")
+            if save_json and len(det):
+                stem = Path(paths[si]).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                for row in det:
+                    jdict.append(
+                        {
+                            "image_id": image_id,
+                            "category_id": int(row[5]),
+                            "bbox": [round(float(v), 3) for v in
+                                     (row[0], row[1], row[2] - row[0], row[3] - row[1])],
+                            "score": round(float(row[4]), 5),
+                        }
+                    )
         t_post += time.time() - t2
         t_inf += t2 - t1
         t_pre += t1 - t0
@@ -152,8 +166,26 @@ def run(
     if confusion is not None:
         confusion.plot(save_dir=str(save_dir), names=names)
 
-    if save_json and len(stats):
-        LOGGER.info(f"COCO JSON written to {save_dir / 'predictions.json'}")
+    if save_json and jdict:
+        pred_json = save_dir / "predictions.json"
+        pred_json.write_text(json.dumps(jdict))
+        LOGGER.info(f"COCO JSON: {pred_json} ({len(jdict)} detections)")
+        # pycocotools COCOeval when available (reference: val.py:227-241)
+        ann_json = data_dict.get("annotations")
+        if ann_json and Path(str(ann_json)).exists():
+            try:
+                from pycocotools.coco import COCO
+                from pycocotools.cocoeval import COCOeval
+
+                coco_gt = COCO(str(ann_json))
+                coco_dt = coco_gt.loadRes(str(pred_json))
+                ev = COCOeval(coco_gt, coco_dt, "bbox")
+                ev.evaluate()
+                ev.accumulate()
+                ev.summarize()
+                map_, map50 = ev.stats[0], ev.stats[1]
+            except ImportError:
+                LOGGER.warning("pycocotools not installed; skipping COCOeval")
 
     maps = np.zeros(nc) + map_
     for i, c in enumerate(ap_class):

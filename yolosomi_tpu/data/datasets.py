@@ -359,6 +359,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self.seed = seed
+        self.sample_weights = None  # per-image weights (--image-weights)
 
     def __len__(self):
         n = len(self.dataset)
@@ -366,8 +367,14 @@ class DataLoader:
 
     def _batches(self):
         idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.sample_weights is not None:
+            # weighted resampling with replacement (reference: train.py
+            # --image-weights via random.choices, train.py:236-241)
+            w = np.asarray(self.sample_weights, np.float64)
+            w = w / w.sum()
+            idx = rng.choice(len(self.dataset), size=len(self.dataset), p=w)
+        elif self.shuffle:
             rng.shuffle(idx)
         nb = len(self)
         for b in range(nb):

@@ -222,8 +222,10 @@ def test_decode_parity(parity_pair):
         anchor = torch.tensor(meta.anchors_px[i]).view(1, 3, 1, 1, 2).float()
         xy = (y[..., 0:2] * 2 - 0.5 + grid) * stride
         wh = (y[..., 2:4] * 2) ** 2 * anchor
-        out = torch.cat((xy, wh, y[..., 4:]), -1)
-        rows.append(out.view(b, -1, NC + 5))
+        out = torch.cat((xy, wh, y[..., 4:]), -1)  # (b, na, ny, nx, no)
+        # our decode flattens (ny, nx, na) row-major (a free reshape; see
+        # heads.decode_level) — match that order here
+        rows.append(out.permute(0, 2, 3, 1, 4).reshape(b, -1, NC + 5))
     t_dec = torch.cat(rows, 1).numpy()
     np.testing.assert_allclose(t_dec, dec, atol=2e-4, rtol=1e-3)
 

@@ -163,3 +163,28 @@ def load(
     if autoshape:
         return AutoShape(runner, imgsz=imgsz, conf=conf, iou=iou, names=names)
     return runner
+
+
+def apply_classifier(detections: "Detections", classifier, imgsz: int = 224):
+    """Second-stage classifier over detection crops (reference:
+    general.py apply_classifier + detect.py:93-95,204-205): re-labels each
+    box with the classifier's argmax, dropping disagreeing detections.
+
+    `classifier(batch_float_nhwc) -> (N, n_classes) logits`.
+    """
+    import cv2
+
+    for i, (im, det) in enumerate(zip(detections.ims, detections.pred)):
+        if len(det) == 0:
+            continue
+        crops = []
+        for x1, y1, x2, y2, *_ in det:
+            crop = im[max(int(y1), 0) : int(y2), max(int(x1), 0) : int(x2)]
+            if crop.size == 0:
+                crop = np.zeros((imgsz, imgsz, 3), np.uint8)
+            crops.append(cv2.resize(crop, (imgsz, imgsz)))
+        logits = np.asarray(classifier(np.stack(crops).astype(np.float32) / 255.0))
+        pred_cls = logits.argmax(1)
+        keep = pred_cls == det[:, 5].astype(int)
+        detections.pred[i] = det[keep]
+    return detections

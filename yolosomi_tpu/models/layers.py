@@ -871,6 +871,7 @@ class SimAM(nn.Module):
     energy-based per-neuron weighting, sigmoid gate."""
 
     e_lambda: float = 1e-4
+    dtype: Dtype = jnp.float32  # unused; registry uniformity
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -79,7 +79,7 @@ def _nms_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms"),
+    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms", "use_pallas"),
 )
 def non_max_suppression(
     prediction: jax.Array,  # (B, N, 5 + nc) decoded rows [xc,yc,w,h,obj,cls...]
@@ -90,6 +90,7 @@ def non_max_suppression(
     agnostic: bool = False,
     max_det: int = 300,
     max_nms: int = 4096,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Batched static-shape NMS.
 
@@ -129,14 +130,29 @@ def non_max_suppression(
             cls_idx = best_cls[box_idx].astype(jnp.float32)
             cand_boxes = bx[box_idx]
         offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx * MAX_WH
-        keep_idx, keep_valid = _nms_single(cand_boxes + offset[:, None], scores, iou_thres, max_det)
-        safe = jnp.maximum(keep_idx, 0)
-        out = jnp.concatenate(
-            [cand_boxes[safe], scores[safe][:, None], cls_idx[safe][:, None]], axis=-1
-        )
-        return jnp.where(keep_valid[:, None], out, 0.0)
+        return cand_boxes, scores, cls_idx, cand_boxes + offset[:, None]
 
-    return jax.vmap(per_image)(boxes_xyxy, cls_scores)
+    cand_boxes, scores, cls_idx, offset_boxes = jax.vmap(per_image)(boxes_xyxy, cls_scores)
+
+    if use_pallas:
+        from yolosomi_tpu.ops.pallas.nms_kernel import pallas_nms
+
+        keep_idx, keep_valid = pallas_nms(offset_boxes, scores, iou_thres, max_det)
+    else:
+        keep_idx, keep_valid = jax.vmap(
+            lambda bx, sc: _nms_single(bx, sc, iou_thres, max_det)
+        )(offset_boxes, scores)
+
+    safe = jnp.maximum(keep_idx, 0)
+    out = jnp.concatenate(
+        [
+            jnp.take_along_axis(cand_boxes, safe[..., None], axis=1),
+            jnp.take_along_axis(scores, safe, axis=1)[..., None],
+            jnp.take_along_axis(cls_idx, safe, axis=1)[..., None],
+        ],
+        axis=-1,
+    )
+    return jnp.where(keep_valid[..., None], out, 0.0)
 
 
 def soft_nms_scores(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5, max_det: int = 300):

@@ -55,3 +55,21 @@ def test_transformer_block():
     x = jnp.ones((1, 4, 4, 16))
     y = _run(L.TransformerBlock(16, num_heads=4, n=1), x)
     assert y.shape == (1, 4, 4, 16)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "mod_name,kwargs",
+    [("ECA", {}), ("BAM", {}), ("GAMAttention", {}), ("SKAttention", {}),
+     ("ShuffleAttention", {}), ("NAMAttention", {})],
+)
+def test_attention_gates_shape_preserving(mod_name, kwargs):
+    mod = getattr(L, mod_name)(**kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    variables = mod.init(jax.random.PRNGKey(1), x, False)
+    y = mod.apply(variables, x, False, mutable=["batch_stats"])
+    y = y[0] if isinstance(y, tuple) else y
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())

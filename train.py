@@ -49,6 +49,12 @@ from yolosomi_tpu.utils.metrics import fitness
 
 
 def train(hyp: dict, opt) -> float:
+    # seed host RNGs for reproducible augmentation (reference: init_seeds,
+    # torch_utils.py; train.py:87)
+    import random as _rnd
+
+    _rnd.seed(opt.seed)
+    np.random.seed(opt.seed)
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
     (save_dir / "weights").mkdir(parents=True, exist_ok=True)
     last, best = save_dir / "weights" / "last.ckpt", save_dir / "weights" / "best.ckpt"

@@ -949,3 +949,165 @@ class Classify(nn.Module):
         else:
             x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.c2, dtype=self.dtype, name="linear")(x)
+
+
+# ---------------------------------------------------------------------------
+# Tier-2 attention family, continued (reference: common.py attention zoo)
+# ---------------------------------------------------------------------------
+
+
+class ECA(nn.Module):
+    """Efficient channel attention (reference: common.py:3062 eca_block):
+    GAP -> 1D conv over the channel axis -> sigmoid gate."""
+
+    b: int = 1
+    gamma: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        import math as _m
+
+        t = int(abs((_m.log2(c) + self.b) / self.gamma))
+        k = t if t % 2 else t + 1
+        v = jnp.mean(x, axis=(1, 2))[:, :, None]  # (B, C, 1)
+        v = nn.Conv(1, (k,), padding="SAME", use_bias=False, dtype=self.dtype, name="conv")(v)
+        return x * nn.sigmoid(v[..., 0])[:, None, None, :]
+
+
+class BAM(nn.Module):
+    """Bottleneck attention module (reference: common.py:3574): parallel
+    channel MLP + dilated-conv spatial branch, sigmoid((c + s)), residual
+    gate x * (1 + att)."""
+
+    c2: int = 0
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        mid = max(c // self.reduction, 1)
+        # channel branch
+        v = jnp.mean(x, axis=(1, 2))
+        v = nn.Dense(mid, dtype=self.dtype, name="fc1")(v)
+        v = nn.relu(v)
+        v = nn.Dense(c, dtype=self.dtype, name="fc2")(v)
+        ch = v[:, None, None, :]
+        # spatial branch: 1x1 reduce, two dilated 3x3, 1x1 to 1 channel
+        s = ConvRaw(mid, 1, use_bias=True, dtype=self.dtype, name="sp1")(x)
+        s = nn.relu(s)
+        s = ConvRaw(mid, 3, d=4, use_bias=True, dtype=self.dtype, name="sp2")(s)
+        s = nn.relu(s)
+        s = ConvRaw(mid, 3, d=4, use_bias=True, dtype=self.dtype, name="sp3")(s)
+        s = nn.relu(s)
+        s = ConvRaw(1, 1, use_bias=True, dtype=self.dtype, name="sp4")(s)
+        att = nn.sigmoid(ch + s)
+        return x * (1.0 + att)
+
+
+class GAMAttention(nn.Module):
+    """Global attention module (reference: common.py:506): channel MLP over
+    permuted features + 7x7 conv spatial gate."""
+
+    c2: int = 0
+    rate: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        mid = max(c // self.rate, 1)
+        v = nn.Dense(mid, dtype=self.dtype, name="fc1")(x)
+        v = nn.relu(v)
+        v = nn.Dense(c, dtype=self.dtype, name="fc2")(v)
+        x = x * nn.sigmoid(v)
+        s = ConvRaw(mid, 7, use_bias=True, dtype=self.dtype, name="sp1")(x)
+        s = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn1")(s)
+        s = nn.relu(s)
+        s = ConvRaw(c, 7, use_bias=True, dtype=self.dtype, name="sp2")(s)
+        s = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn2")(s)
+        return x * nn.sigmoid(s)
+
+
+class SKAttention(nn.Module):
+    """Selective-kernel attention (reference: common.py:576): multi-kernel
+    branches, fused channel descriptor, softmax branch selection."""
+
+    c2: int = 0
+    kernels: Tuple[int, ...] = (1, 3, 5, 7)
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        branches = [
+            Conv(c, k, 1, g=1, dtype=self.dtype, name=f"k{k}")(x, train) for k in self.kernels
+        ]
+        u = sum(branches)
+        mid = max(c // self.reduction, 32)
+        z = nn.Dense(mid, dtype=self.dtype, name="fc")(jnp.mean(u, axis=(1, 2)))
+        weights = [nn.Dense(c, dtype=self.dtype, name=f"fc_{k}")(z) for k in self.kernels]
+        attn = nn.softmax(jnp.stack(weights, 0), axis=0)  # (nk, B, C)
+        out = sum(a[:, None, None, :] * b for a, b in zip(attn, branches))
+        return out
+
+
+class ShuffleAttention(nn.Module):
+    """Shuffle attention (reference: common.py:6608): grouped channel +
+    spatial gates with channel shuffle."""
+
+    c2: int = 0
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.groups
+        cg = c // (2 * g)
+        xg = x.reshape(b, h, w, g, 2 * cg)
+        x0, x1 = xg[..., :cg], xg[..., cg:]
+        # channel gate on x0
+        s = jnp.mean(x0, axis=(1, 2), keepdims=True)
+        cw = self.param("cweight", nn.initializers.zeros, (1, 1, 1, g, cg), jnp.float32)
+        cb = self.param("cbias", nn.initializers.ones, (1, 1, 1, g, cg), jnp.float32)
+        x0 = x0 * nn.sigmoid(s * cw + cb)
+        # spatial gate on x1 (per-group groupnorm + affine)
+        gn = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype, name="gn")(
+            x1.reshape(b, h, w, g * cg)
+        ).reshape(b, h, w, g, cg)
+        sw = self.param("sweight", nn.initializers.zeros, (1, 1, 1, g, cg), jnp.float32)
+        sb = self.param("sbias", nn.initializers.ones, (1, 1, 1, g, cg), jnp.float32)
+        x1 = x1 * nn.sigmoid(gn * sw + sb)
+        out = jnp.concatenate([x0, x1], axis=-1).reshape(b, h, w, g, 2, cg)
+        # channel shuffle
+        out = out.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, c)
+        return out
+
+
+class NAMAttention(nn.Module):
+    """Normalization-based attention (reference: common.py:3050,
+    Channel_Att): batch-normalize, weight channels by their normalized
+    |gamma| importance, sigmoid-gate the input."""
+
+    c2: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            use_scale=False, use_bias=False, dtype=self.dtype, name="bn",
+        )(x)
+        y = y * gamma + beta
+        g = jnp.abs(gamma)
+        wn = g / (jnp.sum(g) + 1e-12) * c
+        return x * nn.sigmoid(y * wn)

@@ -64,6 +64,13 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "SPPCSPC": (L.SPPCSPC, "csp"),
     "TransformerBlock": (L.TransformerBlock, "conv"),
     "SimAM": (L.SimAM, "plain"),
+    "eca_block": (L.ECA, "plain"),
+    "ECA": (L.ECA, "plain"),
+    "BAM": (L.BAM, "plain"),
+    "GAMAttention": (L.GAMAttention, "plain"),
+    "SKAttention": (L.SKAttention, "plain"),
+    "ShuffleAttention": (L.ShuffleAttention, "plain"),
+    "NAMAttention": (L.NAMAttention, "plain"),
     "CoorAttention": (L.CoorAttention, "conv"),
     "Classify": (L.Classify, "conv"),
     "C3": (L.C3, "csp"),

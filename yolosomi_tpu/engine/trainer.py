@@ -44,7 +44,13 @@ def create_train_state(variables, optimizer, accumulate: int = 1) -> TrainState:
 
 
 def make_train_step(
-    model, loss_fn: Callable, optimizer, mesh=None, scale_to: Optional[int] = None, accumulate: int = 1
+    model,
+    loss_fn: Callable,
+    optimizer,
+    mesh=None,
+    scale_to: Optional[int] = None,
+    accumulate: int = 1,
+    donate: bool = False,
 ):
     """Build the jitted train step.
 
@@ -109,6 +115,12 @@ def make_train_step(
         }
         return new_state, metrics
 
+    # donation is OFF by default: on the remote-TPU tunnel runtime,
+    # interleaving other executables (per-epoch val) with a donated train
+    # step corrupts the live state (reproducible NaNs right after val;
+    # clean with --noval or donate=False). Enable on trusted runtimes for
+    # the in-place update memory savings.
+    donate_argnums = (0,) if donate else ()
     if mesh is not None:
         in_shardings = (
             replicate(mesh),  # state
@@ -117,9 +129,9 @@ def make_train_step(
         )
         return jax.jit(
             train_step, in_shardings=in_shardings, out_shardings=(replicate(mesh), replicate(mesh)),
-            donate_argnums=(0,),
+            donate_argnums=donate_argnums,
         )
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model, meta, conf_thres=0.001, iou_thres=0.6, max_det=300, multi_label=True, mesh=None):

@@ -68,6 +68,7 @@ def run(
     names=None,
     data=None,
     augment=False,
+    visualize=False,
 ):
     if names is None and data:
         from yolosomi_tpu.utils.config import find_config, load_data_cfg
@@ -105,6 +106,19 @@ def run(
             augment=augment,
         )
         det = np.asarray(infer(runner.variables, x))[0]
+        if visualize:
+            # feature-map dump via the graph capture hook (the reference
+            # hardcodes visualize=True in its loop, detect.py:162 — a
+            # defect; here it is opt-in)
+            from yolosomi_tpu.utils.plots import feature_visualization
+
+            vis_dir = save_dir / "features"
+            vis_dir.mkdir(parents=True, exist_ok=True)
+            import jax as _jax
+
+            for li in (2, len(runner.model.layers) // 2):
+                _, feat = runner.model.apply(runner.variables, _jax.numpy.asarray(x), train=False, capture=li)
+                feature_visualization(np.asarray(feat), f"{Path(path).stem}_layer{li}", save_dir=str(vis_dir))
         t2 = time.time()
         t_pre += t1 - t0
         t_inf += t2 - t1
@@ -182,6 +196,7 @@ def parse_opt(argv=None):
     parser.add_argument("--hide-conf", action="store_true")
     parser.add_argument("--data", type=str, default=None, help="data yaml for class names")
     parser.add_argument("--augment", action="store_true", help="TTA inference")
+    parser.add_argument("--visualize", action="store_true", help="save feature-map grids")
     return parser.parse_args(argv)
 
 

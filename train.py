@@ -195,7 +195,8 @@ def train(hyp: dict, opt) -> float:
         if not opt.noval or epoch == opt.epochs - 1:
             ema_vars = jax.device_get(ema_variables(state))
             val_runner.variables = jax.tree_util.tree_map(jnp.asarray, ema_vars)
-            val_runner._infer_cache = {}
+            # note: the infer cache stays warm — variables are call
+            # arguments, so no recompile is needed between epochs
             results, maps, _ = validate.run(
                 data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
                 project=str(save_dir), name="val", exist_ok=True, names=names,

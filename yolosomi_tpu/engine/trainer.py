@@ -80,6 +80,19 @@ def make_train_step(
             return loss, (comps, mutated["batch_stats"])
 
         (loss, (comps, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+
+        # GradScaler-equivalent step skipping (reference: torch.cuda.amp
+        # scaler.step skips on inf/nan grads, train.py:271-277): a
+        # non-finite batch must never reach the parameters. Also guards
+        # against transient backend glitches corrupting the run.
+        grads_finite = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(g.astype(jnp.float32))) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        grads = jax.tree_util.tree_map(lambda g: jnp.where(grads_finite, g, jnp.zeros_like(g)), grads)
+        new_bs = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(grads_finite, new, old), new_bs, state.batch_stats
+        )
+
         if accumulate > 1:
             # accumulate gradient sums and step every `accumulate` calls
             # (reference: train.py:271-277 — step + EMA update on boundary)
@@ -103,15 +116,28 @@ def make_train_step(
             )
             new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1, new_acc)
         else:
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_ema = ema_update(state.ema, {"params": new_params, "batch_stats": new_bs})
+
+            def apply_branch(op):
+                params, opt_state, ema = op
+                updates, new_opt = optimizer.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                new_ema = ema_update(ema, {"params": new_params, "batch_stats": new_bs})
+                return new_params, new_opt, new_ema
+
+            def skip_branch(op):
+                params, opt_state, ema = op
+                return params, opt_state, EMAState(ema.variables, ema.updates)
+
+            new_params, new_opt, new_ema = jax.lax.cond(
+                grads_finite, apply_branch, skip_branch, (state.params, state.opt_state, state.ema)
+            )
             new_state = TrainState(new_params, new_bs, new_opt, new_ema, state.step + 1, state.grad_accum)
         metrics = {
             "loss": loss,
             "lbox": comps[0],
             "lobj": comps[1],
             "lcls": comps[2],
+            "grads_finite": grads_finite,
         }
         return new_state, metrics
 

@@ -381,7 +381,11 @@ class EMACBAMBottleneck(nn.Module):
         # per-group normalization (reference: GroupNorm(c2//factor, c2//factor)
         # on the grouped view == one group per channel == instance norm)
         gy = gy.reshape(b, h, w, c)
-        gy = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=self.dtype, name="gn")(gy)
+        # use_fast_variance=False: the E[x^2]-E[x]^2 shortcut cancels
+        # catastrophically on near-constant channels (this GN is per-channel
+        # instance norm over unnormalized conv outputs) and yields negative
+        # variances -> NaN a few steps into training
+        gy = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=self.dtype, use_fast_variance=False, name="gn")(gy)
         return gy
 
 
@@ -1078,7 +1082,7 @@ class ShuffleAttention(nn.Module):
         cb = self.param("cbias", nn.initializers.ones, (1, 1, 1, g, cg), jnp.float32)
         x0 = x0 * nn.sigmoid(s * cw + cb)
         # spatial gate on x1 (per-group groupnorm + affine)
-        gn = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype, name="gn")(
+        gn = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype, use_fast_variance=False, name="gn")(
             x1.reshape(b, h, w, g * cg)
         ).reshape(b, h, w, g, cg)
         sw = self.param("sweight", nn.initializers.zeros, (1, 1, 1, g, cg), jnp.float32)

@@ -154,7 +154,7 @@ class DCNv3(nn.Module):
             C, (self.kernel_size, self.kernel_size), padding="SAME", feature_group_count=C,
             dtype=self.dtype, name="dw_conv",
         )(x)
-        ctx = nn.LayerNorm(dtype=self.dtype, name="norm")(ctx)
+        ctx = nn.LayerNorm(dtype=self.dtype, use_fast_variance=False, name="norm")(ctx)
         ctx = nn.gelu(ctx)
 
         # offset/mask heads init to zero: identity sampling at init

@@ -88,11 +88,8 @@ def run(
 
     cls_mask = None
     if classes is not None:
-        import jax.numpy as jnp
-
         cls_mask = np.zeros(runner.meta.nc, bool)
         cls_mask[classes] = True
-        cls_mask = jnp.asarray(cls_mask)
 
     t_pre = t_inf = 0.0
     seen = 0
@@ -103,7 +100,7 @@ def run(
         t1 = time.time()
         infer = runner.infer_fn(
             conf_thres=conf_thres, iou_thres=iou_thres, agnostic=agnostic_nms, max_det=max_det,
-            augment=augment,
+            augment=augment, class_mask=cls_mask,
         )
         det = np.asarray(infer(runner.variables, x))[0]
         if visualize:

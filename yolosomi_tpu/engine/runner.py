@@ -56,12 +56,16 @@ class Runner:
         return int(max(self.meta.strides))
 
     def infer_fn(
-        self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300, augment=False
+        self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300,
+        augment=False, class_mask=None,
     ):
         """Jitted (images float NHWC [0,1]) -> (B, max_det, 6) detections.
-        `augment=True` runs scale/flip TTA (reference: yolo.py:1253)."""
-        key = (conf_thres, iou_thres, multi_label, agnostic, max_det, augment)
+        `augment=True` runs scale/flip TTA (reference: yolo.py:1253);
+        `class_mask` is an (nc,) bool array filter (--classes)."""
+        key = (conf_thres, iou_thres, multi_label, agnostic, max_det, augment,
+               None if class_mask is None else tuple(np.asarray(class_mask).tolist()))
         if key not in self._infer_cache:
+            classes = None if class_mask is None else jnp.asarray(np.asarray(class_mask))
 
             @jax.jit
             def fn(variables, images):
@@ -80,6 +84,7 @@ class Runner:
                     dec,
                     conf_thres=conf_thres,
                     iou_thres=iou_thres,
+                    classes=classes,
                     multi_label=multi_label,
                     agnostic=agnostic,
                     max_det=max_det,

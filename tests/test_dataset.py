@@ -146,3 +146,13 @@ def test_mixup_blends():
     out, lab = A.mixup(im1, l1, im2, l2)
     assert lab.shape == (2, 5)
     assert 0 < out.mean() < 255
+
+
+def test_mosaic9(mini_dataset):
+    from yolosomi_tpu.data.datasets import load_mosaic9
+
+    hyp = {"degrees": 0, "translate": 0.1, "scale": 0.5, "shear": 0, "perspective": 0}
+    ds = DetectionDataset(str(mini_dataset / "images"), img_size=96, batch_size=4, augment=True, hyp=hyp)
+    img, labels = load_mosaic9(ds, 0)
+    assert img.shape == (96, 96, 3)
+    assert labels.ndim == 2 and labels.shape[1] == 5

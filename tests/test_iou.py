@@ -1,6 +1,7 @@
 """IoU family unit tests (spec: reference utils/metrics.py:208-480)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from yolosomi_tpu.utils.iou import (
@@ -85,3 +86,25 @@ def test_nwd_small_box_sensitivity():
     small_b = jnp.array([[2.0, 0.0, 6.0, 4.0]])
     # NWD still gives a usable similarity where IoU is already tiny
     assert 0.0 < float(wasserstein_loss(small_a, small_b)[0]) < 1.0
+
+
+def test_inner_iou_scaling():
+    from yolosomi_tpu.utils.iou import bbox_inner_iou
+
+    a = jnp.array([[10.0, 10.0, 8.0, 8.0]])
+    b = jnp.array([[12.0, 10.0, 8.0, 8.0]])
+    inner = float(bbox_inner_iou(a, b, ratio=0.7)[0])
+    full = float(bbox_iou(a, b)[0])
+    # shrunken boxes overlap less for the same offset
+    assert 0 <= inner < full
+    assert float(bbox_inner_iou(a, a, ratio=0.7)[0]) > 0.99
+
+
+def test_wiou_penalizes_distance():
+    from yolosomi_tpu.utils.iou import wiou
+
+    a = jnp.array([[10.0, 10.0, 8.0, 8.0]])
+    near = jnp.array([[11.0, 10.0, 8.0, 8.0]])
+    # WIoU multiplies IoU by exp(dist/diag) >= 1; equal boxes give ~1
+    assert float(wiou(a, a)[0]) == pytest.approx(1.0, abs=1e-4)
+    assert float(wiou(a, near)[0]) > float(bbox_iou(a, near)[0])

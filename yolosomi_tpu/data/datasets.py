@@ -621,3 +621,56 @@ class LoadStreams:
 
     def close(self):
         self.running = False
+
+
+def load_mosaic9(dataset: "DetectionDataset", index: int):
+    """9-image mosaic on a 3s x 3s canvas (reference: datasets.py:801-878;
+    unused by the default pipeline but part of the augmentation library)."""
+    s = dataset.img_size
+    labels9 = []
+    indices = [index] + random.choices(list(dataset.indices), k=8)
+    random.shuffle(indices)
+    img9 = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    hp = wp = -1
+    for i, idx in enumerate(indices):
+        img, _, (h, w) = dataset.load_image(idx)
+        if i == 0:  # center
+            c = s, s, s + w, s + h
+            h0, w0 = h, w
+        elif i == 1:
+            c = s, s - h, s + w, s
+        elif i == 2:
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:
+            c = s - w, s + h0 - h, s, s + h0
+        else:
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :][: y2 - y1, : x2 - x1]
+        hp, wp = h, w
+        labels = dataset.labels[idx].copy()
+        if labels.size:
+            labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], w, h, padw, padh))
+        labels9.append(labels)
+    yc, xc = (int(random.uniform(0, s)) for _ in range(2))
+    img9 = img9[yc : yc + 2 * s, xc : xc + 2 * s]
+    labels9 = np.concatenate(labels9, 0) if labels9 else np.zeros((0, 5), np.float32)
+    labels9[:, [1, 3]] -= xc
+    labels9[:, [2, 4]] -= yc
+    labels9[:, 1:] = labels9[:, 1:].clip(0, 2 * s)
+    img9, labels9 = A.random_perspective(
+        img9, labels9,
+        degrees=dataset.hyp.get("degrees", 0.0), translate=dataset.hyp.get("translate", 0.1),
+        scale=dataset.hyp.get("scale", 0.5), shear=dataset.hyp.get("shear", 0.0),
+        perspective=dataset.hyp.get("perspective", 0.0), border=dataset.mosaic_border,
+    )
+    return img9, labels9

@@ -124,3 +124,20 @@ def find_config(name: str, kind: str = "models") -> Path:
         if cand.exists():
             return cand
     raise FileNotFoundError(f"config '{name}' not found (searched cwd and {CONFIG_ROOT / kind})")
+
+
+def check_dataset(data: dict) -> dict:
+    """Validate dataset paths exist; this zero-egress build points at the
+    converters instead of downloading (reference check_dataset,
+    general.py:359 runs the YAML's download script)."""
+    from yolosomi_tpu.utils.general import LOGGER
+
+    missing = [k for k in ("train", "val") if data.get(k) and not Path(str(data[k]).split("*")[0]).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"dataset paths missing: {[data[k] for k in missing]}. This build has no "
+            "network egress — place the data manually and convert labels with "
+            "tools/visdrone2yolo.py (VisDrone) or tools/voc2coco.py."
+        )
+    LOGGER.info(f"dataset ok: train={data.get('train')} val={data.get('val')}")
+    return data

@@ -221,3 +221,57 @@ def shape_iou(box1, box2, xywh: bool = True, scale1: float = 0.5, eps: float = 1
     omega_h = ww * jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
     shape_cost = jnp.power(1 - jnp.exp(-omega_w), 4) + jnp.power(1 - jnp.exp(-omega_h), 4)
     return iou - distance - 0.5 * shape_cost
+
+
+def bbox_inner_iou(box1, box2, xywh: bool = True, ratio: float = 0.7, eps: float = 1e-7):
+    """Inner-IoU: IoU of `ratio`-scaled boxes around the same centers
+    (reference: metrics.py:604-640 get_inner_iou/bbox_inner_iou) —
+    sharper localization gradients for small objects."""
+    if xywh:
+        x1, y1, w1, h1 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        x2, y2, w2, h2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
+    else:
+        x1 = (box1[..., 0] + box1[..., 2]) / 2
+        y1 = (box1[..., 1] + box1[..., 3]) / 2
+        w1 = box1[..., 2] - box1[..., 0]
+        h1 = box1[..., 3] - box1[..., 1]
+        x2 = (box2[..., 0] + box2[..., 2]) / 2
+        y2 = (box2[..., 1] + box2[..., 3]) / 2
+        w2 = box2[..., 2] - box2[..., 0]
+        h2 = box2[..., 3] - box2[..., 1]
+    w1, h1, w2, h2 = w1 * ratio, h1 * ratio, w2 * ratio, h2 * ratio
+    b1x1, b1x2 = x1 - w1 / 2, x1 + w1 / 2
+    b1y1, b1y2 = y1 - h1 / 2, y1 + h1 / 2
+    b2x1, b2x2 = x2 - w2 / 2, x2 + w2 / 2
+    b2y1, b2y2 = y2 - h2 / 2, y2 + h2 / 2
+    inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0, None) * jnp.clip(
+        jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0, None
+    )
+    union = w1 * h1 + w2 * h2 - inter + eps
+    return inter / union
+
+
+def wiou(box1, box2, xywh: bool = True, eps: float = 1e-7):
+    """Wise-IoU v1 focusing term: IoU scaled by exp(center distance /
+    enclosing-box diagonal) (reference: metrics.py WIoU branch, without the
+    running-mean scale state which is a training-loop concern)."""
+    iou = bbox_iou(box1, box2, xywh=xywh, eps=eps)
+    if xywh:
+        cx1, cy1 = box1[..., 0], box1[..., 1]
+        cx2, cy2 = box2[..., 0], box2[..., 1]
+        b1x1, b1x2 = cx1 - box1[..., 2] / 2, cx1 + box1[..., 2] / 2
+        b1y1, b1y2 = cy1 - box1[..., 3] / 2, cy1 + box1[..., 3] / 2
+        b2x1, b2x2 = cx2 - box2[..., 2] / 2, cx2 + box2[..., 2] / 2
+        b2y1, b2y2 = cy2 - box2[..., 3] / 2, cy2 + box2[..., 3] / 2
+    else:
+        b1x1, b1y1, b1x2, b1y2 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        b2x1, b2y1, b2x2, b2y2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
+        cx1, cy1 = (b1x1 + b1x2) / 2, (b1y1 + b1y2) / 2
+        cx2, cy2 = (b2x1 + b2x2) / 2, (b2y1 + b2y2) / 2
+    cw = jnp.maximum(b1x2, b2x2) - jnp.minimum(b1x1, b2x1)
+    ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
+    import jax as _jax
+
+    dist = (cx1 - cx2) ** 2 + (cy1 - cy2) ** 2
+    denom = _jax.lax.stop_gradient(cw**2 + ch**2) + eps
+    return iou * jnp.exp(dist / denom)

@@ -103,3 +103,34 @@ def test_tiny_model_train_step_on_mesh(mesh):
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
     assert int(new_state.step) == 1
     assert int(new_state.ema.updates) == 1
+
+
+def test_spatial_sharding_conv_halo_exchange():
+    """H-sharded convolution over the 'model' axis must match the
+    replicated result — XLA inserts the halo exchange (the capability
+    SURVEY.md §5.7 adds beyond the reference)."""
+    from flax import linen as nn
+
+    from yolosomi_tpu.parallel.mesh import create_mesh, shard_spatial
+
+    mesh2 = create_mesh(devices=jax.devices()[:8], data=2, model=4)
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.Conv(4, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+            return x
+
+    net = Net()
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ref = net.apply(variables, jnp.asarray(x))
+
+    with mesh2:
+        xs = shard_spatial(jnp.asarray(x), mesh2)
+        out = jax.jit(net.apply)(variables, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # the output really was computed sharded
+    assert len(out.sharding.device_set) >= 4

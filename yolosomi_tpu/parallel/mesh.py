@@ -61,3 +61,16 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC activations along H on the 'model' axis (SURVEY.md §5.7:
+    the conv analogue of sequence parallelism for 1280px+ drone frames).
+    XLA's SPMD partitioner inserts the halo exchanges convolutions need —
+    no manual ppermute."""
+    return NamedSharding(mesh, P("data", "model", None, None))
+
+
+def shard_spatial(batch_images, mesh: Mesh):
+    """device_put images with (data, model)-sharded (batch, height)."""
+    return jax.device_put(batch_images, spatial_sharding(mesh))

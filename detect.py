@@ -96,7 +96,7 @@ def run(
     vid_writer = None
     for path, img, im0, cap in dataset:
         t0 = time.time()
-        x = img[None].astype(np.float32) / 255.0
+        x = img[None]  # uint8; normalized on device
         t1 = time.time()
         infer = runner.infer_fn(
             conf_thres=conf_thres, iou_thres=iou_thres, agnostic=agnostic_nms, max_det=max_det,

@@ -177,9 +177,7 @@ def train(hyp: dict, opt) -> float:
             train_loader.sample_weights = labels_to_image_weights(train_ds.labels, nc, cw)
         with mesh:
             for i, (images, targets, _, _) in enumerate(train_loader):
-                batch = shard_batch(
-                    {"images": images.astype(np.float32) / 255.0, "targets": targets}, mesh
-                )
+                batch = shard_batch({"images": images, "targets": targets}, mesh)
                 step_fn = train_steps[_random.choice(list(train_steps))]
                 state, metrics = step_fn(state, batch["images"], batch["targets"])
                 if i % max(nb // 10, 1) == 0:

@@ -86,7 +86,7 @@ def run(
     t_pre = t_inf = t_post = 0.0
     for images, targets, paths, shapes in dataloader:
         t0 = time.time()
-        x = images.astype(np.float32) / 255.0
+        x = images  # uint8; normalized on device
         t1 = time.time()
         out = np.asarray(infer(runner.variables, x))
         t2 = time.time()

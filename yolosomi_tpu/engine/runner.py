@@ -69,6 +69,11 @@ class Runner:
 
             @jax.jit
             def fn(variables, images):
+                # uint8 batches normalize on device: 4x less host->device
+                # transfer than f32 (the reference ships uint8 too and
+                # divides on GPU, train.py:249)
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
                 if augment:
                     from yolosomi_tpu.ops.tta import forward_augment
 
@@ -96,7 +101,5 @@ class Runner:
     def __call__(self, images: np.ndarray, **nms_kw) -> np.ndarray:
         """images: (B,H,W,3) uint8 BGR or float [0,1]. Returns numpy
         (B, max_det, 6) [x1,y1,x2,y2,conf,cls] in letterboxed pixels."""
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
         out = self.infer_fn(**nms_kw)(self.variables, jnp.asarray(images))
         return np.asarray(out)

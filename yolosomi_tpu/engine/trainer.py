@@ -65,6 +65,8 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, images, targets):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         if scale_to is not None and scale_to != images.shape[1]:
             b, _, _, c = images.shape
             images = jax.image.resize(images, (b, scale_to, scale_to, c), method="bilinear")

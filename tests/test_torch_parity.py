@@ -238,3 +238,101 @@ def test_bn_eval_semantics(parity_pair):
     j1 = jmodel.apply(variables, jnp.asarray(x1.transpose(0, 2, 3, 1)), train=False)
     j2 = jmodel.apply(variables, jnp.asarray(x2.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(j1[0][0]), np.asarray(j2[0][0]), atol=1e-5)
+
+
+class TChannelAttention(nn.Module):
+    """Reference-shaped CBAM channel gate (common.py:339)."""
+
+    def __init__(self, c1, reduction=16):
+        super().__init__()
+        mid = max(c1 // reduction, 1)
+        self.shared_MLP = nn.Sequential(nn.Linear(c1, mid), nn.ReLU(), nn.Linear(mid, c1))
+
+    def forward(self, x):
+        b, c, _, _ = x.shape
+        avg = self.shared_MLP(x.mean((2, 3)))
+        mx = self.shared_MLP(x.amax((2, 3)))
+        return torch.sigmoid(avg + mx).view(b, c, 1, 1)
+
+
+class TSpatialAttention(nn.Module):
+    def __init__(self, k=7):
+        super().__init__()
+        self.cv1 = nn.Conv2d(2, 1, k, padding=k // 2)
+
+    def forward(self, x):
+        s = torch.cat([x.mean(1, keepdim=True), x.amax(1, keepdim=True)], 1)
+        return torch.sigmoid(self.cv1(s))
+
+
+class TCBAMBottleneck(nn.Module):
+    """CBAM bottleneck as the reference wires it from C2fCBAM
+    (common.py:671-695 with e=1.0, ratio=16, k=7)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.cv1 = TConv(c, c, 3, 1)
+        self.cv2 = TConv(c, c, 3, 1)
+        self.channel_attention = TChannelAttention(c, 16)
+        self.spatial_attention = TSpatialAttention(7)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        y = self.channel_attention(y) * y
+        y = self.spatial_attention(y) * y
+        return self.cv2(y)
+
+
+class TC2fCBAM(nn.Module):
+    def __init__(self, c1, c2, n=1):
+        super().__init__()
+        self.c = c2 // 2
+        self.cv1 = TConv(c1, 2 * self.c, 1, 1)
+        self.cv2 = TConv((2 + n) * self.c, c2, 1, 1)
+        self.m = nn.ModuleList(TCBAMBottleneck(self.c) for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        for m in self.m:
+            y.append(m(y[-1]))
+        return self.cv2(torch.cat(y, 1))
+
+
+def test_c2fcbam_parity():
+    """Flagship attention block vs torch golden through the converter.
+    Note: reference CBAMBottleneck is residual only when c1 == c2 AND
+    shortcut; C2fCBAM passes shortcut=True in the flagship backbone —
+    mirrored by shortcut=True here."""
+    from yolosomi_tpu.models.layers import C2fCBAM
+
+    tblock = TC2fCBAM(16, 16, n=2).eval()
+    sd = _randomized_state_dict(tblock)
+
+    jblock = C2fCBAM(16, n=2, shortcut=True)
+    x = np.random.default_rng(0).standard_normal((1, 16, 12, 12)).astype(np.float32)
+    variables = jblock.init(__import__("jax").random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    from yolosomi_tpu.utils.torch_convert import convert_state_dict
+
+    # wrap keys as model.0.* to satisfy the layers_N prefix contract
+    sd_pref = {f"model.0.{k}": v for k, v in sd.items()}
+    variables = convert_state_dict(sd_pref, {"params": {"layers_0": variables["params"]},
+                                             "batch_stats": {"layers_0": variables["batch_stats"]}},
+                                   strict=True)
+    variables = {"params": variables["params"]["layers_0"], "batch_stats": variables["batch_stats"]["layers_0"]}
+
+    # torch residual add inside bottleneck: flagship passes shortcut=True
+    class TC2fCBAMRes(TC2fCBAM):
+        pass
+
+    with torch.no_grad():
+        # manual forward with residual adds to match shortcut=True
+        y = list(tblock.cv1(torch.from_numpy(x)).chunk(2, 1))
+        for m in tblock.m:
+            inner = m.cv1(y[-1])
+            inner = m.channel_attention(inner) * inner
+            inner = m.spatial_attention(inner) * inner
+            y.append(y[-1] + m.cv2(inner))
+        t_out = tblock.cv2(torch.cat(y, 1)).numpy()
+
+    j_out = jblock.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    np.testing.assert_allclose(t_out.transpose(0, 2, 3, 1), np.asarray(j_out), atol=3e-4, rtol=1e-3)

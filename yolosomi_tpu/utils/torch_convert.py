@@ -50,6 +50,10 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
         parts.append(p)
     leaf = path[-1]
     key = ".".join(parts)
+    # CBAM channel-attention MLP: our fc1/fc2 Denses correspond to the
+    # reference's shared_MLP Sequential slots 0 and 2 (common.py:339-360)
+    key = key.replace(".channel_attention.fc1", ".channel_attention.shared_MLP.0")
+    key = key.replace(".channel_attention.fc2", ".channel_attention.shared_MLP.2")
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]

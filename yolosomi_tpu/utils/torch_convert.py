@@ -82,12 +82,18 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
 
 
 def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...]) -> np.ndarray:
-    """Dtype/layout conversion: conv OIHW->HWIO, dense (out,in)->(in,out)."""
+    """Dtype/layout conversion: conv OIHW->HWIO, dense (out,in)->(in,out),
+    ODConv candidate banks (K,O,I,kh,kw)->(K,kh,kw,I,O), 1x1-conv
+    attention heads -> dense kernels."""
     v = np.asarray(value, np.float32)
-    if v.ndim == 4:
+    if v.ndim == 5:
+        v = v.transpose(0, 3, 4, 2, 1)  # K,O,I,kh,kw -> K,kh,kw,I,O
+    elif v.ndim == 4 and len(our_shape) == 2 and v.shape[2:] == (1, 1):
+        v = v[:, :, 0, 0].T  # torch Conv2d-1x1 head -> our Dense kernel
+    elif v.ndim == 4:
         v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-    elif v.ndim == 2:
-        v = v.T
+    elif v.ndim == 2 and tuple(v.shape) != tuple(our_shape):
+        v = v.T  # dense (out,in) -> (in,out); same-shape 2D banks pass through
     if tuple(v.shape) != tuple(our_shape):
         raise ValueError(f"shape mismatch {v.shape} vs {our_shape}")
     return v

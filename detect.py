@@ -14,7 +14,6 @@ detect.py:162 — a defect) is NOT reproduced; pass --visualize.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 from pathlib import Path
 

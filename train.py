@@ -13,7 +13,6 @@ pinning (train.py:55), forced Adam (train.py:134-136), wandb force-off
 from __future__ import annotations
 
 import argparse
-import math
 import time
 from pathlib import Path
 
@@ -29,7 +28,6 @@ from yolosomi_tpu.engine.ema import EarlyStopping
 from yolosomi_tpu.engine.optim import make_optimizer
 from yolosomi_tpu.engine.runner import Runner
 from yolosomi_tpu.engine.trainer import (
-    TrainState,
     create_train_state,
     ema_variables,
     make_train_step,

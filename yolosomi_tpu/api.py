@@ -15,7 +15,6 @@ import numpy as np
 from yolosomi_tpu.data.augment import letterbox
 from yolosomi_tpu.engine.runner import Runner
 from yolosomi_tpu.utils.boxes import scale_coords
-from yolosomi_tpu.utils.general import LOGGER
 
 
 class Detections:

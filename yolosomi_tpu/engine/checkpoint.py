@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -37,8 +37,6 @@ def save_checkpoint(
     meta_dict: Optional[dict] = None,
     include_optimizer: bool = True,
 ) -> None:
-    from yolosomi_tpu.engine.trainer import TrainState
-
     payload = {
         "epoch": epoch,
         "best_fitness": best_fitness,

@@ -10,7 +10,6 @@ steps per iteration.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from yolosomi_tpu.engine.ema import EMAState, ema_init, ema_update
-from yolosomi_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+from yolosomi_tpu.parallel.mesh import batch_sharding, replicate
 
 
 class TrainState(NamedTuple):

@@ -20,7 +20,7 @@ dcnv3_im2col_cuda.cuh:216).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import numpy as np
 

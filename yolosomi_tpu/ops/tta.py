@@ -13,7 +13,7 @@ the host side of the padded detection axis.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ simply optional.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict
 
 from yolosomi_tpu.utils.general import LOGGER
 

@@ -218,3 +218,24 @@ def test_capture_and_inject(v5):
     # injecting the captured value reproduces the baseline
     out3 = model.apply(variables, x, train=False, inject={9: feat})
     np.testing.assert_allclose(np.asarray(out3[-1]), np.asarray(base[-1]), atol=1e-6)
+
+
+def test_v8_anchor_free_head():
+    """Anchor-free DFL head: builds, forwards, decodes through NMS."""
+    cfg = dict(TINY_V5)
+    cfg = {**cfg, "head": [*cfg["head"][:-1], [[17, 20, 23], 1, "DetectV8", ["nc"]]]}
+    model, meta = build_model(cfg)
+    assert meta.head_type == "DetectV8"
+    variables = init_model(model, meta, imgsz=64)
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert len(out) == 3
+    assert out[0].shape[-1] == 4 * 16 + 4  # 4*reg_max + nc
+
+    from yolosomi_tpu.models.heads import decode_v8
+    from yolosomi_tpu.ops.nms import non_max_suppression
+
+    dec = decode_v8(out, meta.strides, meta.nc)
+    assert dec.shape == (1, 64 + 16 + 4, 5 + 4)
+    assert bool(jnp.isfinite(dec).all())
+    res = non_max_suppression(dec, 0.001, 0.45, max_det=10, max_nms=64)
+    assert res.shape == (1, 10, 6)

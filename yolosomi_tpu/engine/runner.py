@@ -55,6 +55,13 @@ class Runner:
     def stride(self) -> int:
         return int(max(self.meta.strides))
 
+    def _decode(self, preds):
+        if self.meta.head_type in ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8"):
+            from yolosomi_tpu.models.heads import decode_v8
+
+            return decode_v8(preds, self.meta.strides, self.meta.nc)
+        return decode(preds, self.meta.anchors_px, self.meta.strides)
+
     def infer_fn(
         self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300,
         augment=False, class_mask=None,
@@ -79,12 +86,12 @@ class Runner:
 
                     def apply_decode(xi):
                         preds = self.model.apply(variables, xi, train=False)
-                        return decode(preds, self.meta.anchors_px, self.meta.strides)
+                        return self._decode(preds)
 
                     dec = forward_augment(apply_decode, images, self.meta.nl, gs=self.stride)
                 else:
                     preds = self.model.apply(variables, images, train=False)
-                    dec = decode(preds, self.meta.anchors_px, self.meta.strides)
+                    dec = self._decode(preds)
                 return non_max_suppression(
                     dec,
                     conf_thres=conf_thres,

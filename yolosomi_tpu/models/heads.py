@@ -152,3 +152,76 @@ def decode(preds: Sequence[jax.Array], anchors_px, strides) -> jax.Array:
 
 
 HEAD_CLASSES = (Detect, DecoupledDetect)
+
+
+class DFL(nn.Module):
+    """Distribution focal decode: softmax over reg_max bins -> expected
+    distance (reference: common.py:2449, a frozen arange conv)."""
+
+    reg_max: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # (..., 4, reg_max)
+        bins = jnp.arange(self.reg_max, dtype=jnp.float32)
+        return jnp.sum(jax.nn.softmax(x.astype(jnp.float32), axis=-1) * bins, axis=-1)
+
+
+class DetectV8(nn.Module):
+    """Anchor-free YOLOv8-style head (reference: yolo.py:725 DetectYOLOv8 /
+    :187 DetectYOLO8Head): per level a box branch (2 convs -> 4*reg_max)
+    and a class branch (2 convs -> nc); DFL decode against cell centers.
+
+    Emits per-level (B, ny, nx, 4*reg_max + nc) raw maps; use
+    `decode_v8` for pixel boxes. Training this head needs the
+    task-aligned assigner (round-2 item); inference/conversion complete.
+    """
+
+    nc: int
+    reg_max: int = 16
+    strides: Tuple[int, ...] = ()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        outs = []
+        c2 = max(16, xs[0].shape[-1] // 4, self.reg_max * 4)
+        c3 = max(xs[0].shape[-1], min(self.nc, 100))
+        for i, x in enumerate(xs):
+            b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = ConvRaw(4 * self.reg_max, 1, use_bias=True, dtype=self.dtype, name=f"cv2_{i}_2")(b)
+            c = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            c = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+            c = ConvRaw(self.nc, 1, use_bias=True, dtype=self.dtype, name=f"cv3_{i}_2")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+
+def decode_v8(preds: Sequence[jax.Array], strides, nc: int, reg_max: int = 16) -> jax.Array:
+    """Anchor-free decode: DFL distances from cell centers -> xywh; rows
+    [xc, yc, w, h, 1.0, cls...] so the shared NMS path applies (obj == 1,
+    reference folds obj into cls for v8 heads)."""
+    dfl = DFL(reg_max)
+    rows = []
+    for i, p in enumerate(preds):
+        b, ny, nx, _ = p.shape
+        stride = float(strides[i])
+        box, cls = p[..., : 4 * reg_max], p[..., 4 * reg_max :]
+        dist = dfl.apply({}, box.reshape(b, ny, nx, 4, reg_max))  # (B,ny,nx,4) ltrb
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1) + 0.5
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0) + 0.5
+        x1 = gx[None] - dist[..., 0]
+        y1 = gy[None] - dist[..., 1]
+        x2 = gx[None] + dist[..., 2]
+        y2 = gy[None] + dist[..., 3]
+        xc = (x1 + x2) / 2 * stride
+        yc = (y1 + y2) / 2 * stride
+        w = (x2 - x1) * stride
+        h = (y2 - y1) * stride
+        conf = jax.nn.sigmoid(cls.astype(jnp.float32))
+        obj = jnp.ones_like(xc)
+        rows.append(
+            jnp.stack([xc, yc, w, h, obj], axis=-1).reshape(b, ny * nx, 5)
+        )
+        rows[-1] = jnp.concatenate([rows[-1], conf.reshape(b, ny * nx, nc)], axis=-1)
+    return jnp.concatenate(rows, axis=1)

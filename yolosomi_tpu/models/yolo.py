@@ -90,6 +90,9 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "DecoupledDetect": (heads_lib.DecoupledDetect, "head"),
     "DecoupledDetect1": (heads_lib.DecoupledDetect, "head"),
     "Decoupled_Detect": (heads_lib.DecoupledDetect, "head"),
+    "DetectYOLOv8": (heads_lib.DetectV8, "head_v8"),
+    "DetectYOLO8Head": (heads_lib.DetectV8, "head_v8"),
+    "DetectV8": (heads_lib.DetectV8, "head_v8"),
 }
 
 
@@ -159,6 +162,7 @@ class ModelMeta:
     head_from: Tuple[int, ...]
     specs: List[LayerSpec]
     yaml: dict
+    head_type: str = "Detect"  # registry name of the head family
 
     @property
     def no(self) -> int:
@@ -295,17 +299,22 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             c2 = in_ch(f) // (g * g)
             mod = cls(gain=g)
             stride /= g
-        elif kind == "head":
+        elif kind in ("head", "head_v8"):
             head_from = tuple(x if x >= 0 else len(chans) + x for x in f)
             head_strides = tuple(float(in_stride(x)) for x in f)
             nl = len(f)
-            anchors_px = _resolve_anchors(args[1] if len(args) > 1 else anchors, nl)
-            mod = cls(
-                nc=nc,
-                anchors=tuple(tuple(a) for a in anchors_px.reshape(nl, -1).tolist()),
-                strides=head_strides,
-                dtype=dtype,
-            )
+            if kind == "head_v8":
+                # anchor-free: no anchor args (reference DetectYOLOv8 takes
+                # only nc + channels, yolo.py:725)
+                mod = cls(nc=nc, strides=head_strides, dtype=dtype)
+            else:
+                anchors_px = _resolve_anchors(args[1] if len(args) > 1 else anchors, nl)
+                mod = cls(
+                    nc=nc,
+                    anchors=tuple(tuple(a) for a in anchors_px.reshape(nl, -1).tolist()),
+                    strides=head_strides,
+                    dtype=dtype,
+                )
             c2 = 0
             head_name = mname
             stride = 0.0
@@ -327,7 +336,7 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
     nl = len(head_from)
     head_strides = tuple(specs[j].stride for j in head_from)
     anchors_px = _resolve_anchors(anchors, nl)
-    meta = ModelMeta(
+    meta = ModelMeta(head_type=head_name,
         nc=nc,
         names=[str(i) for i in range(nc)],
         nl=nl,

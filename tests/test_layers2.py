@@ -73,3 +73,28 @@ def test_attention_gates_shape_preserving(mod_name, kwargs):
     y = y[0] if isinstance(y, tuple) else y
     assert y.shape == x.shape
     assert bool(jnp.isfinite(y).all())
+
+
+def test_experimental_blocks():
+    for mod, cin in [
+        (L.CrossConv(16, 3, 2), 16),
+        (L.MixConv2d(16, (1, 3), 1), 8),
+        (L.C3SE(16, n=1), 16),
+        (L.C3ECA(16, n=1), 16),
+        (L.C3SPP(16), 16),
+        (L.C3x(16, n=1), 16),
+        (L.RepC3(16, n=1), 16),
+        (L.GSConv(16, 3, 2), 8),
+    ]:
+        x = jnp.ones((1, 8, 8, cin))
+        y = _run(mod, x)
+        assert jnp.isfinite(y).all(), type(mod).__name__
+
+
+def test_sum_and_spd():
+    xs = [jnp.ones((1, 4, 4, 8)), jnp.full((1, 4, 4, 8), 2.0)]
+    y = _run2 = L.Sum(2).apply(L.Sum(2).init(jax.random.PRNGKey(0), xs), xs)
+    np.testing.assert_allclose(np.asarray(y), 3.0)
+    spd = L.SPD()
+    z = spd.apply(spd.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4))), jnp.ones((1, 8, 8, 4)))
+    assert z.shape == (1, 4, 4, 16)

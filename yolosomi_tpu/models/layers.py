@@ -57,7 +57,7 @@ class ConvRaw(nn.Module):
 
     c2: int
     k: Union[int, Tuple[int, int]] = 1
-    s: int = 1
+    s: Union[int, Tuple[int, int]] = 1
     p: Union[int, Tuple[int, int], None] = None
     g: int = 1
     d: int = 1
@@ -72,7 +72,7 @@ class ConvRaw(nn.Module):
         return nn.Conv(
             features=self.c2,
             kernel_size=k,
-            strides=(self.s, self.s),
+            strides=_pair(self.s),
             padding=((ph, ph), (pw, pw)),
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
@@ -89,7 +89,7 @@ class Conv(nn.Module):
 
     c2: int
     k: Union[int, Tuple[int, int]] = 1
-    s: int = 1
+    s: Union[int, Tuple[int, int]] = 1
     p: Union[int, None] = None
     g: int = 1
     d: int = 1
@@ -1115,3 +1115,189 @@ class NAMAttention(nn.Module):
         g = jnp.abs(gamma)
         wn = g / (jnp.sum(g) + 1e-12) * c
         return x * nn.sigmoid(y * wn)
+
+
+# ---------------------------------------------------------------------------
+# Experimental blocks (reference: models/experimental.py) + more CSP variants
+# ---------------------------------------------------------------------------
+
+
+class CrossConv(nn.Module):
+    """Cross convolution downsample: 1xk then kx1 (reference:
+    experimental.py:15-27)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, (1, self.k), (1, self.s), dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, (self.k, 1), (self.s, 1), g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class Sum(nn.Module):
+    """Weighted sum of N inputs (reference: experimental.py:29-47)."""
+
+    n: int
+    weight: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        if self.weight:
+            w = self.param("w", lambda k, s: -jnp.arange(1.0, s[0] + 1.0) / 2.0, (self.n - 1,))
+            gains = nn.sigmoid(w) * 2.0
+            y = xs[0]
+            for i in range(1, len(xs)):
+                y = y + xs[i] * gains[i - 1].astype(xs[0].dtype)
+            return y
+        y = xs[0]
+        for x in xs[1:]:
+            y = y + x
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel conv: channel groups with different kernel sizes
+    (reference: experimental.py:50-71)."""
+
+    c2: int
+    k: Tuple[int, ...] = (1, 3)
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.k)
+        splits = [self.c2 // n + (1 if i < self.c2 % n else 0) for i in range(n)]
+        outs = [
+            ConvRaw(c, k, self.s, use_bias=False, dtype=self.dtype, name=f"m{i}")(x)
+            for i, (c, k) in enumerate(zip(splits, self.k))
+        ]
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                         dtype=self.dtype, name="bn")(y)
+        return nn.silu(y)
+
+
+class C3SE(C3):
+    """C3 with SE-gated bottlenecks (reference: common.py:1746)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, k=((1, 1), (3, 3)), e=1.0, dtype=self.dtype, name=f"m{i}")(
+                y1, train
+            )
+            y1 = SE(c_, dtype=self.dtype, name=f"se{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3ECA(C3):
+    """C3 with ECA-gated bottlenecks (reference: common.py:1781)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, k=((1, 1), (3, 3)), e=1.0, dtype=self.dtype, name=f"m{i}")(
+                y1, train
+            )
+            y1 = ECA(dtype=self.dtype, name=f"eca{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3SPP(C3):
+    """C3 whose stack is an SPP block (reference: common.py:1790)."""
+
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = SPP(c_, (5, 9, 13), dtype=self.dtype, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3x(C3):
+    """C3 with cross-convolutions (reference: common.py:1568)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = CrossConv(c_, 3, 1, self.g, 1.0, self.shortcut, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class RepC3(nn.Module):
+    """RT-DETR style RepC3 (reference: common.py:1578): plain 3x3 stack +
+    parallel 1x1, summed."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Conv(c_, 3, 1, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = y1 + y2
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        return y
+
+
+class GSConv(nn.Module):
+    """Slim-neck GSConv: half standard conv + half depthwise, shuffled
+    (reference: imported via common.py)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y1 = Conv(c_, self.k, self.s, g=self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype, name="cv2")(y1, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        # channel shuffle between the two halves
+        b, h, w, c = y.shape
+        return y.reshape(b, h, w, 2, c // 2).transpose(0, 1, 2, 4, 3).reshape(b, h, w, c)
+
+
+class SPD(nn.Module):
+    """Space-to-depth layer (SPD-Conv; reference: common.py:2750-2772)."""
+
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.scale
+        parts = [x[:, i::s, j::s, :] for i in range(s) for j in range(s)]
+        return jnp.concatenate(parts, axis=-1)

@@ -60,6 +60,16 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "se_block": (L.SE, "plain"),
     "BottleneckCSP": (L.BottleneckCSP, "csp"),
     "C3TR": (L.C3TR, "csp"),
+    "C3SE": (L.C3SE, "csp"),
+    "C3ECA": (L.C3ECA, "csp"),
+    "C3SPP": (L.C3SPP, "csp"),
+    "C3x": (L.C3x, "csp"),
+    "RepC3": (L.RepC3, "csp"),
+    "CrossConv": (L.CrossConv, "conv"),
+    "MixConv2d": (L.MixConv2d, "conv"),
+    "GSConv": (L.GSConv, "conv"),
+    "SPD": (L.SPD, "spd"),
+    "space_to_depth": (L.SPD, "spd"),
     "C3Ghost": (L.C3Ghost, "csp"),
     "SPPCSPC": (L.SPPCSPC, "csp"),
     "TransformerBlock": (L.TransformerBlock, "conv"),
@@ -289,6 +299,10 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         elif kind == "addN":
             c2 = max(in_ch(x) for x in f)
             mod = cls(c2, dtype=dtype)
+        elif kind == "spd":
+            c2 = in_ch(f) * 4
+            mod = cls()
+            stride *= 2
         elif kind == "contract":
             g = args[0] if args else 2
             c2 = in_ch(f) * g * g

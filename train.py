@@ -128,6 +128,31 @@ def train(hyp: dict, opt) -> float:
         accumulate=accumulate, adam=opt.adam, linear_lr=opt.linear_lr,
     )
     state = create_train_state(dict(variables), optimizer, accumulate=accumulate)
+    if start_epoch > 0:
+        # full resume: optimizer momentum/schedule state + EMA from the
+        # checkpoint (reference: train.py:151-163)
+        from flax import serialization as _ser
+
+        from yolosomi_tpu.engine.ema import EMAState
+
+        updates = {"step": jnp.asarray(start_epoch * nb, jnp.int32)}
+        if "opt_state" in ckpt:
+            try:
+                updates["opt_state"] = _ser.from_state_dict(state.opt_state, ckpt["opt_state"])
+            except Exception as e:
+                LOGGER.warning(f"resume: optimizer state not restored ({e}); fast-forwarding schedule only")
+                updates["opt_state"] = state.opt_state._replace(
+                    step=jnp.asarray(start_epoch * max(nb // accumulate, 1), jnp.int32)
+                )
+        if ckpt.get("ema_params"):
+            updates["ema"] = EMAState(
+                variables={
+                    "params": jax.tree_util.tree_map(jnp.asarray, ckpt["ema_params"]),
+                    "batch_stats": jax.tree_util.tree_map(jnp.asarray, ckpt.get("ema_batch_stats", {})),
+                },
+                updates=jnp.asarray(int(ckpt.get("ema_updates", 0)), jnp.int32),
+            )
+        state = state._replace(**updates)
 
     loss_fn = ComputeLoss(meta, hyp)
     loss_fn.rep = opt.rep

@@ -221,7 +221,7 @@ def train(hyp: dict, opt) -> float:
             results, maps, _ = validate.run(
                 data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
                 project=str(save_dir), name="val", exist_ok=True, names=names,
-                single_cls=opt.single_cls,
+                single_cls=opt.single_cls, compute_loss=loss_fn,
             )
         fi = fitness(np.array(results[:4]))
         with open(results_file, "a") as f:

@@ -55,6 +55,7 @@ def run(
     runner: Runner = None,
     dataloader: DataLoader = None,
     names=None,
+    compute_loss=None,
 ):
     t_start = time.time()
     data_dict = load_data_cfg(find_config(data, "data")) if isinstance(data, str) else data
@@ -82,6 +83,20 @@ def run(
         conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det, augment=augment
     )
 
+    loss_fn_batch = None
+    if compute_loss is not None:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        @_jax.jit
+        def loss_fn_batch(variables, images, targets):
+            if images.dtype == _jnp.uint8:
+                images = images.astype(_jnp.float32) / 255.0
+            preds = runner.model.apply(variables, images, train=False)
+            return compute_loss(preds, targets)[1]
+
+    val_losses = np.zeros(3)
+    n_loss_batches = 0
     seen = 0
     t_pre = t_inf = t_post = 0.0
     for images, targets, paths, shapes in dataloader:
@@ -89,6 +104,9 @@ def run(
         x = images  # uint8; normalized on device
         t1 = time.time()
         out = np.asarray(infer(runner.variables, x))
+        if loss_fn_batch is not None:
+            val_losses += np.asarray(loss_fn_batch(runner.variables, x, targets))
+            n_loss_batches += 1
         t2 = time.time()
 
         h, w = images.shape[1:3]
@@ -190,7 +208,8 @@ def run(
     maps = np.zeros(nc) + map_
     for i, c in enumerate(ap_class):
         maps[int(c)] = ap[i]
-    results = (mp, mr, map50, map_, 0.0, 0.0, 0.0)
+    vb, vo, vc = (val_losses / max(n_loss_batches, 1)).tolist()
+    results = (mp, mr, map50, map_, vb, vo, vc)
     LOGGER.info(f"fitness: {fitness(np.array(results[:4])):.4f} ({time.time() - t_start:.1f}s)")
     return results, maps, spd
 

@@ -36,6 +36,14 @@ class Runner:
     ):
         cfg_dict = load_model_cfg(find_config(cfg))
         self.model, self.meta = build_model(cfg_dict, nc=nc, dtype=dtype)
+        if weights and Path(weights).exists() and nc is None:
+            # infer nc from the checkpoint head shapes (the reference gets
+            # it from the pickled module; our weights are bare pytrees)
+            peek = load_variables(weights)
+            detected = self._infer_nc(peek["params"])
+            if detected is not None and detected != self.meta.nc:
+                LOGGER.info(f"nc={detected} inferred from checkpoint (cfg said {self.meta.nc})")
+                self.model, self.meta = build_model(cfg_dict, nc=detected, dtype=dtype)
         if weights and Path(weights).exists():
             self.variables = load_variables(weights)
             # msgpack restores plain dicts; cast leaves to jnp
@@ -46,6 +54,22 @@ class Runner:
                 LOGGER.warning(f"weights {weights} not found; using random init")
             self.variables = init_model(self.model, self.meta, imgsz=min(imgsz, 256))
         self._infer_cache = {}
+
+    def _infer_nc(self, params: dict):
+        head_keys = [k for k in params if k.startswith("layers_")]
+        if not head_keys:
+            return None
+        head = params[max(head_keys, key=lambda k: int(k.split("_")[1]))]
+        m0 = head.get("m0", {})
+        na = self.meta.na
+        try:
+            if "c3" in m0:  # DecoupledDetect class branch: na*nc outputs
+                return int(np.asarray(m0["c3"]["conv"]["bias"]).size // na)
+            if "conv" in m0:  # coupled Detect: na*(nc+5) outputs
+                return int(np.asarray(m0["conv"]["bias"]).size // na - 5)
+        except Exception:
+            return None
+        return None
 
     @property
     def names(self):

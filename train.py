@@ -76,9 +76,15 @@ def train(hyp: dict, opt) -> float:
     hyp["cls"] *= nc / 80.0 * 3.0 / nl
     hyp["obj"] *= (imgsz / 640) ** 2 * 3.0 / nl
 
+    ds_hyp = dict(hyp)
+    if opt.device_preprocess:
+        # HSV + flips move into the jitted train step (ops/preprocess.py);
+        # zero them in the host pipeline so they are not applied twice
+        for k in ("hsv_h", "hsv_s", "hsv_v", "fliplr", "flipud"):
+            ds_hyp[k] = 0.0
     train_ds = DetectionDataset(
         data_dict["train"], img_size=imgsz, batch_size=opt.batch_size, augment=True,
-        hyp=hyp, rect=opt.rect, stride=int(max(meta.strides)), max_labels=opt.max_labels,
+        hyp=ds_hyp, rect=opt.rect, stride=int(max(meta.strides)), max_labels=opt.max_labels,
     )
     train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True)
     nb = len(train_loader)
@@ -154,8 +160,14 @@ def train(hyp: dict, opt) -> float:
             )
         state = state._replace(**updates)
 
-    loss_fn = ComputeLoss(meta, hyp)
-    loss_fn.rep = opt.rep
+    if meta.head_type in ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8", "DetectYolov11", "DetectV11"):
+        # anchor-free DFL heads train through the task-aligned assigner
+        from yolosomi_tpu.losses_v8 import ComputeLossV8
+
+        loss_fn = ComputeLossV8(meta, hyp)
+    else:
+        loss_fn = ComputeLoss(meta, hyp)
+        loss_fn.rep = opt.rep
 
     mesh = create_mesh()
     gs = int(max(meta.strides))
@@ -164,12 +176,15 @@ def train(hyp: dict, opt) -> float:
         # TPU-shaped version of the reference's per-batch +-50% jitter)
         sizes = sorted({max(int(imgsz * f) // gs * gs, gs) for f in (0.67, 0.83, 1.0, 1.17, 1.33)})
         train_steps = {
-            s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate)
+            s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate,
+                               device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None)
             for s in sizes
         }
         LOGGER.info(f"multi-scale sizes: {sizes}")
     else:
-        train_steps = {imgsz: make_train_step(model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate)}
+        train_steps = {imgsz: make_train_step(
+            model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate,
+            device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None)}
     import random as _random
 
     with mesh:
@@ -272,6 +287,8 @@ def parse_opt(argv=None):
     parser.add_argument("--linear-lr", action="store_true")
     parser.add_argument("--single-cls", action="store_true")
     parser.add_argument("--rep", action="store_true", help="enable repulsion loss")
+    parser.add_argument("--device-preprocess", action="store_true",
+                        help="run HSV/flip augmentation fused on device inside the train step")
     parser.add_argument("--label-smoothing", type=float, default=0.0)
     parser.add_argument("--patience", type=int, default=100)
     parser.add_argument("--project", default="runs/train")

@@ -79,8 +79,12 @@ def run(
     stats = []
     jdict = []  # COCO-format prediction records (reference: val.py:220-241)
     confusion = ConfusionMatrix(nc=nc) if plots else None
+    # eval path uses exact top-k candidate selection and the reference's
+    # max_nms=30000 (general.py:665) so the protocol matches the reference
+    # exactly on dense small-object datasets (ADVICE r1).
     infer = runner.infer_fn(
-        conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det, augment=augment
+        conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det,
+        augment=augment, exact=True, max_nms=30000,
     )
 
     loss_fn_batch = None
@@ -99,6 +103,11 @@ def run(
     n_loss_batches = 0
     seen = 0
     t_pre = t_inf = t_post = 0.0
+    # the DataLoader pads the final partial batch by wrapping to the start
+    # of the dataset (fixed shapes for jit); val iterates in order, so the
+    # wrapped duplicates are always the tail of the last batch — cap the
+    # per-image loop so they are not double-counted in the statistics.
+    remaining = len(dataloader.dataset)
     for images, targets, paths, shapes in dataloader:
         t0 = time.time()
         x = images  # uint8; normalized on device
@@ -110,7 +119,9 @@ def run(
         t2 = time.time()
 
         h, w = images.shape[1:3]
-        for si in range(len(paths)):
+        n_real = min(len(paths), remaining)
+        remaining -= n_real
+        for si in range(n_real):
             seen += 1
             det = out[si]
             det = det[det[:, 4] > 0]
@@ -203,7 +214,12 @@ def run(
                 ev.summarize()
                 map_, map50 = ev.stats[0], ev.stats[1]
             except ImportError:
-                LOGGER.warning("pycocotools not installed; skipping COCOeval")
+                # vendored numpy COCO evaluator (same protocol)
+                from yolosomi_tpu.utils.cocoeval import COCOEvaluator
+
+                ev = COCOEvaluator.from_files(str(ann_json), str(pred_json)).accumulate()
+                stats = ev.summarize(log=LOGGER.info)
+                map_, map50 = float(stats[0]), float(stats[1])
 
     maps = np.zeros(nc) + map_
     for i, c in enumerate(ap_class):

@@ -167,6 +167,12 @@ class DetectionDataset:
             try:
                 cache = np.load(cache_path, allow_pickle=True).item()
                 if cache.get("version") == CACHE_VERSION and cache.get("hash") == h:
+                    # corrupt/invalid files were excluded during the build
+                    # pass; rebuild the kept file lists from the cache keys
+                    # (reference rebuilds from cache on load too) so a
+                    # cache hit filters identically to a cache build.
+                    self.img_files = [f for f in self.img_files if f in cache]
+                    self.label_files = img2label_paths(self.img_files)
                     return cache
             except Exception:
                 pass
@@ -488,8 +494,30 @@ class LoadImages:
             self.count += 1
             im0 = cv2.imread(path)
             assert im0 is not None, f"image not found {path}"
-        img = A.letterbox(im0, self.img_size, stride=self.stride, auto=self.auto)[0]
+        if not self.auto and _native_letterbox_ok():
+            # C++ letterbox (native/imgproc.cc): ~3x the cv2 path on large
+            # frames; semantics = scaleup letterbox to a square img_size
+            from yolosomi_tpu import native as _native
+
+            img = _native.letterbox(im0, self.img_size)[0]
+        else:
+            img = A.letterbox(im0, self.img_size, stride=self.stride, auto=self.auto)[0]
         return path, np.ascontiguousarray(img), im0, self.cap
+
+
+def _native_letterbox_ok() -> bool:
+    global _NATIVE_OK
+    if _NATIVE_OK is None:
+        try:
+            from yolosomi_tpu import native as _native
+
+            _NATIVE_OK = bool(_native.native_available())
+        except Exception:
+            _NATIVE_OK = False
+    return _NATIVE_OK
+
+
+_NATIVE_OK = None
 
 
 # ---------------------------------------------------------------------------

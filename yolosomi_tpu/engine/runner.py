@@ -80,7 +80,7 @@ class Runner:
         return int(max(self.meta.strides))
 
     def _decode(self, preds):
-        if self.meta.head_type in ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8"):
+        if self.meta.head_type in ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8", "DetectYolov11", "DetectV11"):
             from yolosomi_tpu.models.heads import decode_v8
 
             return decode_v8(preds, self.meta.strides, self.meta.nc)
@@ -88,12 +88,13 @@ class Runner:
 
     def infer_fn(
         self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False, max_det=300,
-        augment=False, class_mask=None,
+        augment=False, class_mask=None, exact=False, max_nms=4096,
     ):
         """Jitted (images float NHWC [0,1]) -> (B, max_det, 6) detections.
         `augment=True` runs scale/flip TTA (reference: yolo.py:1253);
         `class_mask` is an (nc,) bool array filter (--classes)."""
         key = (conf_thres, iou_thres, multi_label, agnostic, max_det, augment,
+               exact, max_nms,
                None if class_mask is None else tuple(np.asarray(class_mask).tolist()))
         if key not in self._infer_cache:
             classes = None if class_mask is None else jnp.asarray(np.asarray(class_mask))
@@ -124,6 +125,8 @@ class Runner:
                     multi_label=multi_label,
                     agnostic=agnostic,
                     max_det=max_det,
+                    max_nms=max_nms,
+                    exact=exact,
                 )
 
             self._infer_cache[key] = fn
@@ -134,3 +137,81 @@ class Runner:
         (B, max_det, 6) [x1,y1,x2,y2,conf,cls] in letterboxed pixels."""
         out = self.infer_fn(**nms_kw)(self.variables, jnp.asarray(images))
         return np.asarray(out)
+
+
+class EnsembleRunner:
+    """Multi-checkpoint ensemble (reference: experimental.py:74-87
+    Ensemble + attempt_load multi-weight path): each model's decoded rows
+    concatenate along the anchor axis before a single shared NMS.
+
+    `weights` is a list of checkpoint paths; `cfg` either one config for
+    all or a per-checkpoint list. All members must share nc.
+    """
+
+    def __init__(self, cfg, weights, nc=None, dtype=jnp.bfloat16, imgsz: int = 640):
+        cfgs = cfg if isinstance(cfg, (list, tuple)) else [cfg] * len(weights)
+        assert len(cfgs) == len(weights)
+        self.members = [Runner(c, w, nc=nc, dtype=dtype, imgsz=imgsz) for c, w in zip(cfgs, weights)]
+        ncs = {m.meta.nc for m in self.members}
+        assert len(ncs) == 1, f"ensemble members disagree on nc: {ncs}"
+        self.meta = self.members[0].meta
+        self._infer_cache = {}
+        LOGGER.info(f"ensemble of {len(self.members)} models")
+
+    @property
+    def names(self):
+        return self.meta.names
+
+    @property
+    def stride(self) -> int:
+        return max(m.stride for m in self.members)
+
+    @property
+    def variables(self):
+        return [m.variables for m in self.members]
+
+    def infer_fn(self, conf_thres=0.25, iou_thres=0.45, multi_label=False, agnostic=False,
+                 max_det=300, augment=False, class_mask=None, exact=False, max_nms=4096):
+        key = (conf_thres, iou_thres, multi_label, agnostic, max_det, augment, exact, max_nms,
+               None if class_mask is None else tuple(np.asarray(class_mask).tolist()))
+        if key not in self._infer_cache:
+            classes = None if class_mask is None else jnp.asarray(np.asarray(class_mask))
+            members = self.members
+
+            @jax.jit
+            def fn(variables_list, images):
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                rows = []
+                for m, v in zip(members, variables_list):
+                    if augment:
+                        from yolosomi_tpu.ops.tta import forward_augment
+
+                        def apply_decode(xi, m=m, v=v):
+                            return m._decode(m.model.apply(v, xi, train=False))
+
+                        rows.append(forward_augment(apply_decode, images, m.meta.nl, gs=m.stride))
+                    else:
+                        rows.append(m._decode(m.model.apply(v, images, train=False)))
+                dec = jnp.concatenate(rows, axis=1)  # anchor-dim concat (experimental.py:80)
+                return non_max_suppression(
+                    dec, conf_thres=conf_thres, iou_thres=iou_thres, classes=classes,
+                    multi_label=multi_label, agnostic=agnostic, max_det=max_det,
+                    max_nms=max_nms, exact=exact,
+                )
+
+            self._infer_cache[key] = fn
+        return self._infer_cache[key]
+
+    def __call__(self, images: np.ndarray, **nms_kw) -> np.ndarray:
+        out = self.infer_fn(**nms_kw)(self.variables, jnp.asarray(images))
+        return np.asarray(out)
+
+
+def attempt_load(weights, cfg, nc=None, dtype=jnp.bfloat16, imgsz: int = 640):
+    """Reference attempt_load (experimental.py:90-122): one weight -> a
+    Runner; several -> an EnsembleRunner."""
+    if isinstance(weights, (list, tuple)) and len(weights) > 1:
+        return EnsembleRunner(cfg, list(weights), nc=nc, dtype=dtype, imgsz=imgsz)
+    w = weights[0] if isinstance(weights, (list, tuple)) else weights
+    return Runner(cfg, w, nc=nc, dtype=dtype, imgsz=imgsz)

@@ -50,6 +50,7 @@ def make_train_step(
     scale_to: Optional[int] = None,
     accumulate: int = 1,
     donate: bool = False,
+    device_preprocess: Optional[dict] = None,
 ):
     """Build the jitted train step.
 
@@ -64,6 +65,17 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, images, targets):
+        if device_preprocess is not None:
+            # fused on-device HSV + flips (+normalize), replacing the host
+            # augmentation tail (SURVEY §7.1; building blocks in
+            # ops/preprocess.py). Deterministic per step: rng folds the step
+            # counter, so resume replays the same jitter stream.
+            from yolosomi_tpu.ops.preprocess import preprocess_train_batch
+
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(int(device_preprocess.get("seed", 0))), state.step
+            )
+            images, targets = preprocess_train_batch(images, targets, rng, device_preprocess)
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         if scale_to is not None and scale_to != images.shape[1]:

@@ -186,6 +186,14 @@ class ComputeLoss:
         self.anchor_t = float(hyp.get("anchor_t", 4.0))
 
     def __call__(self, preds: Sequence[jax.Array], targets: jax.Array):
+        if len(preds) == 2 * self.nl:
+            # IAuxDetect training maps (lead + aux): aux maps take the same
+            # targets at 0.25 weight (the YOLOv7 convention; the reference's
+            # own ComputeLoss assumes nl maps and never wires IAuxDetect,
+            # utils/loss.py:112)
+            total, comps = self.__call__(preds[: self.nl], targets)
+            aux_total, _ = self.__call__(preds[self.nl :], targets)
+            return total + 0.25 * aux_total, comps
         lbox = jnp.zeros((), jnp.float32)
         lobj = jnp.zeros((), jnp.float32)
         lcls = jnp.zeros((), jnp.float32)

@@ -172,8 +172,8 @@ class DetectV8(nn.Module):
     and a class branch (2 convs -> nc); DFL decode against cell centers.
 
     Emits per-level (B, ny, nx, 4*reg_max + nc) raw maps; use
-    `decode_v8` for pixel boxes. Training this head needs the
-    task-aligned assigner (round-2 item); inference/conversion complete.
+    `decode_v8` for pixel boxes. Trains end-to-end through the
+    task-aligned assigner (losses_v8.ComputeLossV8).
     """
 
     nc: int
@@ -225,3 +225,496 @@ def decode_v8(preds: Sequence[jax.Array], strides, nc: int, reg_max: int = 16) -
         )
         rows[-1] = jnp.concatenate([rows[-1], conf.reshape(b, ny * nx, nc)], axis=-1)
     return jnp.concatenate(rows, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv7 implicit heads (reference: yolo.py:382 IDetect, :506 IAuxDetect)
+# ---------------------------------------------------------------------------
+
+
+class ImplicitA(nn.Module):
+    """Learnable additive implicit knowledge (reference: common.py:7741)."""
+
+    mean: float = 0.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        imp = self.param(
+            "implicit", lambda k: self.mean + self.std * jax.random.normal(k, (1, 1, 1, c))
+        )
+        return x + imp.astype(x.dtype)
+
+
+class ImplicitM(nn.Module):
+    """Learnable multiplicative implicit knowledge (reference: common.py:7754)."""
+
+    mean: float = 1.0
+    std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        imp = self.param(
+            "implicit", lambda k: self.mean + self.std * jax.random.normal(k, (1, 1, 1, c))
+        )
+        return x * imp.astype(x.dtype)
+
+
+class IDetect(nn.Module):
+    """YOLOv7 implicit-knowledge head (reference: yolo.py:382-503):
+    ImplicitA -> 1x1 pred conv -> ImplicitM per level. At inference the
+    reference folds ia into the conv bias and im into weight+bias
+    (`fuse`, yolo.py:475-489) — an algebraic identity, so here the
+    implicit params simply stay applied and XLA fuses the adds/muls."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        outs = []
+        for i, x in enumerate(xs):
+            b, ny, nx, _ = x.shape
+            y = ImplicitA(name=f"ia{i}")(x)
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m{i}")(y)
+            y = ImplicitM(name=f"im{i}")(y)
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs
+
+
+class IAuxDetect(nn.Module):
+    """YOLOv7 auxiliary-head variant (reference: yolo.py:506-628): the
+    first nl inputs get the implicit lead head, the second nl inputs a
+    plain 1x1 aux head. Training emits 2*nl maps (lead + aux; the loss
+    weights aux maps 0.25); eval emits only the nl lead maps."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        nl = self.nl
+        assert len(xs) == 2 * nl, f"IAuxDetect wants 2*nl={2 * nl} inputs, got {len(xs)}"
+        lead = []
+        for i in range(nl):
+            x = xs[i]
+            b, ny, nx, _ = x.shape
+            y = ImplicitA(name=f"ia{i}")(x)
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m{i}")(y)
+            y = ImplicitM(name=f"im{i}")(y)
+            lead.append(y.reshape(b, ny, nx, self.na, self.no))
+        # aux branch params must exist at init regardless of mode (flax
+        # creates params lazily on first call); at eval the aux maps are
+        # dropped from the return, so XLA dead-code-eliminates the convs.
+        aux = []
+        for i in range(nl):
+            x = xs[nl + i]
+            b, ny, nx, _ = x.shape
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m2_{i}")(x)
+            aux.append(y.reshape(b, ny, nx, self.na, self.no))
+        return lead + aux if train else lead
+
+
+# ---------------------------------------------------------------------------
+# ASFF head (reference: yolo.py:172 ASFF_Detect, common.py:5500 ASFF)
+# ---------------------------------------------------------------------------
+
+
+def _maxpool2(x):
+    """3x3/s2 max pool, SAME padding (reference: F.max_pool2d(x,3,2,1))."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+    ).astype(x.dtype)
+
+
+def _nearest_up(x, s: int):
+    return jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+
+
+class ASFF(nn.Module):
+    """Adaptively spatial feature fusion at one pyramid level (reference:
+    common.py:5500-5568). Level 0 is the deepest map. The reference
+    hardcodes dims [512,256,128]; here the level's own channel count is
+    the fusion width, so the module is width-multiple-safe."""
+
+    level: int
+    compress_c: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        x0, x1, x2 = xs  # deepest -> shallowest
+        c = x0.shape[-1] if self.level == 0 else (x1.shape[-1] if self.level == 1 else x2.shape[-1])
+        if self.level == 0:
+            r0 = x0
+            r1 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_1")(x1, train)
+            r2 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_2")(_maxpool2(x2), train)
+        elif self.level == 1:
+            r0 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_0")(x0, train), 2)
+            r1 = x1
+            r2 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_2")(x2, train)
+        else:
+            r0 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_0")(x0, train), 4)
+            r1 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_1")(x1, train), 2)
+            r2 = x2
+        w = jnp.concatenate(
+            [
+                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_0")(r0, train),
+                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_1")(r1, train),
+                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_2")(r2, train),
+            ],
+            axis=-1,
+        )
+        w = ConvRaw(3, 1, 1, use_bias=True, dtype=self.dtype, name="weight_levels")(w)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(r0.dtype)
+        fused = r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3]
+        return Conv(c, 3, 1, dtype=self.dtype, name="expand")(fused, train)
+
+
+class ASFFDetect(nn.Module):
+    """Detect with per-level ASFF fusion (reference: yolo.py:172-185).
+    The reference fuses sequentially in reversed order — each later ASFF
+    consumes the already-fused earlier levels — reproduced here."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        assert len(xs) == 3, "ASFF_Detect is a 3-level head (reference: common.py:5500)"
+        rev = list(xs[::-1])  # deepest first
+        for i in range(self.nl):
+            rev[i] = ASFF(level=i, dtype=self.dtype, name=f"asff{i}")(rev, train)
+        outs = []
+        for i, x in enumerate(rev[::-1]):
+            b, ny, nx, _ = x.shape
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m{i}")(x)
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# CLLA head (reference: yolo.py:258-380)
+# ---------------------------------------------------------------------------
+
+
+class CLLA(nn.Module):
+    """Cross-layer local attention (reference: yolo.py:258-300): queries
+    from the coarse map x2 attend over a range x range window of the
+    2x-finer map x1 (strided taps = space-to-depth), with the reference's
+    inverted-relevance softmax (2*mean - dots)."""
+
+    range_: int = 2
+    c: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1: jax.Array, x2: jax.Array):
+        r = self.range_
+        b, h2, w2, c = x2.shape
+        pad = int(r / 2 - 1)
+        x1p = jnp.pad(x1, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        taps = []
+        for i in range(r):
+            for j in range(r):
+                taps.append(x1p[:, i::2, j::2][:, :h2, :w2])
+        local = jnp.stack(taps, axis=3)  # (b, h2, w2, r*r, c)
+
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x2)[:, :, :, None, :]
+        k = nn.Dense(c, dtype=self.dtype, name="k")(local)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(local)
+        dots = jnp.sum(q * k / r, axis=-1)  # (b, h2, w2, r*r)
+        irr = jnp.mean(dots, axis=3, keepdims=True) * 2 - dots
+        att = jax.nn.softmax(irr.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.sum(v * att[..., None], axis=3)
+        return (out + x2) / 2
+
+
+class CLLABlock(nn.Module):
+    """1x1-project both maps to `c`, CLLA-fuse, 1x1 predict
+    (reference: yolo.py:303-323)."""
+
+    out: int
+    c: int = 256
+    range_: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        a = ConvRaw(self.c, 1, 1, use_bias=True, dtype=self.dtype, name="conv1")(x1)
+        bmap = ConvRaw(self.c, 1, 1, use_bias=True, dtype=self.dtype, name="conv2")(x2)
+        f = CLLA(range_=self.range_, c=self.c, dtype=self.dtype, name="att")(a, bmap)
+        return ConvRaw(self.out, 1, 1, use_bias=True, dtype=self.dtype, name="det")(f)
+
+
+class CLLADetect(nn.Module):
+    """Detect head whose finest level is a CLLA fusion of the two finest
+    input maps (reference: yolo.py:325-380): level 0 = CLLABlock(x0, x1)
+    at x1's resolution; level i>0 = 1x1 conv of x[i+1]. Takes nl+1
+    feature maps; detection strides are those of inputs 1..nl."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        assert len(xs) == self.nl + 1, f"CLLADetect wants nl+1={self.nl + 1} inputs"
+        outs = []
+        p0 = CLLABlock(out=self.no * self.na, c=xs[0].shape[-1], dtype=self.dtype, name="det")(
+            xs[0], xs[1]
+        )
+        b, ny, nx, _ = p0.shape
+        outs.append(p0.reshape(b, ny, nx, self.na, self.no))
+        for i in range(1, self.nl):
+            x = xs[i + 1]
+            b, ny, nx, _ = x.shape
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m{i - 1}")(x)
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# TSCODE head (reference: yolo.py:631-722; SCE/DPE common.py:7770-7806)
+# ---------------------------------------------------------------------------
+
+
+class SCE(nn.Module):
+    """Semantic context encoding: downsample the level and concat with the
+    next-coarser map (reference: common.py:7770)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x_p1, x_p2 = xs
+        d = Conv(x_p1.shape[-1], 3, 2, dtype=self.dtype, name="down")(x_p1, train)
+        return jnp.concatenate([d, x_p2], axis=-1)
+
+
+class DPE(nn.Module):
+    """Detail-preserving encoding over (finer, level, coarser)
+    (reference: common.py:7781-7806)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        f, m, c = xs
+        x_p2 = Conv(self.c2, 1, dtype=self.dtype, name="adjust_channel_forp2")(m, train)
+        up2 = Conv(self.c2, 1, dtype=self.dtype, name="up_forp2")(_nearest_up(x_p2, 2), train)
+        x_p1 = Conv(self.c2, 1, dtype=self.dtype, name="adjust_channel_forp1")(f, train) + up2
+        x_p1 = Conv(self.c2, 3, 2, dtype=self.dtype, name="down")(x_p1, train)
+        x_p3 = Conv(self.c2, 1, dtype=self.dtype, name="up_forp3")(_nearest_up(c, 2), train)
+        return x_p1 + x_p2 + x_p3
+
+
+class TSCODEDetect(nn.Module):
+    """Task-separate context-decoupled head (reference: yolo.py:631-722).
+    Takes nl+2 maps; detection level i (stride of input i+1) predicts
+    cls from SCE at half resolution, pixel-shuffled back up (ph=pw=2),
+    and box+obj from DPE at full resolution. Requires na == nl*... —
+    the reference's rearrange implies na == nl (both 3 in its configs);
+    here cls channels are na*nc*4 shuffled to (2h, 2w) per anchor."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        assert len(xs) == self.nl + 2, f"TSCODE_Detect wants nl+2={self.nl + 2} inputs"
+        outs = []
+        for i in range(self.nl):
+            idx = i + 1
+            x = xs[idx]
+            b, ny, nx, cch = x.shape
+            x_sce = SCE(dtype=self.dtype, name=f"m_sce{i}")(xs[idx : idx + 2], train)
+            x_dpe = DPE(c2=cch, dtype=self.dtype, name=f"m_dpe{i}")(xs[idx - 1 : idx + 2], train)
+
+            # cls branch at half resolution, pixel-shuffled up 2x2
+            c_ = Conv(cch, 1, dtype=self.dtype, name=f"m_cls{i}_0")(x_sce, train)
+            c_ = Conv(cch, 3, dtype=self.dtype, name=f"m_cls{i}_1")(c_, train)
+            c_ = ConvRaw(self.na * self.nc * 4, 1, use_bias=True, dtype=self.dtype, name=f"m_cls{i}_2")(c_)
+            hh, ww = c_.shape[1:3]
+            # (b, h, w, na*2*2*nc) -> (b, h*2, w*2, na, nc): reference
+            # rearrange 'bs (nl ph pw nc) h w -> bs nl nc (h ph) (w pw)'
+            c_ = c_.reshape(b, hh, ww, self.na, 2, 2, self.nc)
+            c_ = c_.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, hh * 2, ww * 2, self.na, self.nc)
+            c_ = c_[:, :ny, :nx]
+
+            r = Conv(cch, 3, dtype=self.dtype, name=f"m_reg_conf{i}_0")(x_dpe, train)
+            r = Conv(cch, 3, dtype=self.dtype, name=f"m_reg_conf{i}_1")(r, train)
+            reg = ConvRaw(self.na * 4, 1, use_bias=True, dtype=self.dtype, name=f"m_reg{i}")(r)
+            conf = ConvRaw(self.na, 1, use_bias=True, dtype=self.dtype, name=f"m_conf{i}")(r)
+            reg = reg.reshape(b, ny, nx, self.na, 4)
+            conf = conf.reshape(b, ny, nx, self.na, 1)
+            outs.append(jnp.concatenate([reg, conf, c_], axis=-1))
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# v11 head (reference: yolo.py:778-922) — SEAM cls branch, optional
+# NMS-free end2end path
+# ---------------------------------------------------------------------------
+
+
+class DetectV11(nn.Module):
+    """Anchor-free v11 head (reference: yolo.py:778): v8 box branch +
+    SEAM-augmented class branch. With end2end=True a detached one2one
+    copy is also evaluated (reference: forward_end2end, yolo.py:828-851)
+    whose decoded output feeds the NMS-free `postprocess_end2end`."""
+
+    nc: int
+    reg_max: int = 16
+    strides: Tuple[int, ...] = ()
+    end2end: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _branches(self, xs, train, prefix=""):
+        from yolosomi_tpu.models.layers import SEAM
+
+        outs = []
+        c2 = max(16, xs[0].shape[-1] // 4, self.reg_max * 4)
+        c3 = max(xs[0].shape[-1], min(self.nc, 100))
+        for i, x in enumerate(xs):
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(b, train)
+            b = ConvRaw(4 * self.reg_max, 1, use_bias=True, dtype=self.dtype, name=f"{prefix}cv2_{i}_2")(b)
+            c = Conv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_0")(x, train)
+            c = SEAM(n=1, reduction=16, dtype=self.dtype, name=f"{prefix}cv3_{i}_1")(c, train)
+            c = ConvRaw(self.nc, 1, use_bias=True, dtype=self.dtype, name=f"{prefix}cv3_{i}_2")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        one2many = self._branches(xs, train)
+        if not self.end2end:
+            return one2many
+        detached = [jax.lax.stop_gradient(x) for x in xs]
+        one2one = self._branches(detached, train, prefix="one2one_")
+        if train:
+            return {"one2many": one2many, "one2one": one2one}
+        return one2one
+
+
+def postprocess_end2end(pred_rows: jax.Array, max_det: int, nc: int) -> jax.Array:
+    """NMS-free top-k selection (reference: yolo.py:900-922 postprocess).
+
+    pred_rows: (B, N, 4+nc) decoded [x, y, w, h, cls...] (no obj column).
+    Returns (B, max_det, 6) rows [x, y, w, h, score, cls]."""
+    b, n, _ = pred_rows.shape
+    boxes, scores = pred_rows[..., :4], pred_rows[..., 4:]
+    k = min(max_det, n)
+    best = jnp.max(scores, axis=-1)
+    _, idx = jax.lax.top_k(best, k)
+    boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
+    flat_scores, flat_idx = jax.lax.top_k(scores.reshape(b, -1), k)
+    sel_boxes = jnp.take_along_axis(boxes, (flat_idx // nc)[..., None], axis=1)
+    cls = (flat_idx % nc).astype(jnp.float32)
+    return jnp.concatenate([sel_boxes, flat_scores[..., None], cls[..., None]], axis=-1)
+
+
+class DetectODConvHead(nn.Module):
+    """Detect with ODConv 1x1 prediction convs (reference: yolo.py:112)."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        from yolosomi_tpu.models.layers import ODConv2d
+
+        outs = []
+        for i, x in enumerate(xs):
+            b, ny, nx, _ = x.shape
+            y = ODConv2d(self.na * self.no, 1, 1, dtype=self.dtype, name=f"m{i}")(x, train)
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs

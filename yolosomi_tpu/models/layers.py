@@ -23,7 +23,10 @@ Known reference defects handled here (see SURVEY.md §0):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence, Tuple, Union
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +40,16 @@ BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
 KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+# int8 serving mode (yolosomi_tpu/ops/quant.py drives this):
+#   None   — normal bf16/f32 path
+#   "calib"— sow per-conv input absmax into the 'quant_stats' collection
+#   "int8" — symmetric per-tensor activation / per-channel weight int8
+#            conv with int32 MXU accumulation, when the 'quant' collection
+#            provides this conv's activation scale
+# Trace-time flag: set it BEFORE jitting the apply; each mode is its own
+# compiled program.
+QUANT_MODE: list = [None]
 
 
 def autopad(k, p=None, d: int = 1):
@@ -69,7 +82,7 @@ class ConvRaw(nn.Module):
         k = _pair(self.k)
         p = autopad(self.k, self.p, self.d)
         ph, pw = _pair(p)
-        return nn.Conv(
+        conv = nn.Conv(
             features=self.c2,
             kernel_size=k,
             strides=_pair(self.s),
@@ -80,7 +93,47 @@ class ConvRaw(nn.Module):
             dtype=self.dtype,
             kernel_init=KERNEL_INIT,
             name="conv",
-        )(x)
+        )
+        mode = QUANT_MODE[0]
+        if mode == "calib" and not self.is_initializing():
+            self.sow(
+                "quant_stats",
+                "absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros(()),
+                reduce_fn=jnp.maximum,
+            )
+        elif mode == "int8" and self.has_variable("quant", "a_scale"):
+            return self._int8_forward(x, conv)
+        return conv(x)
+
+    def _int8_forward(self, x, conv):
+        """Symmetric int8 conv: per-tensor activation scale (calibrated),
+        per-out-channel weight scale, int32 MXU accumulation — the serving
+        path that clears the bf16 compute ceiling (PERF.md)."""
+        a_scale = self.get_variable("quant", "a_scale")  # activation absmax
+        p = self.get_variable("params", "conv")
+        w = p["kernel"].astype(jnp.float32)  # (kh, kw, cin/g, cout)
+        w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+        w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        s_a = jnp.maximum(a_scale, 1e-8) / 127.0
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127).astype(jnp.int8)
+        k = _pair(self.k)
+        ph, pw = _pair(autopad(self.k, self.p, self.d))
+        y = jax.lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=_pair(self.s),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(self.d, self.d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_a * w_scale)
+        if self.use_bias:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class Conv(nn.Module):
@@ -1301,3 +1354,1181 @@ class SPD(nn.Module):
         s = self.scale
         parts = [x[:, i::s, j::s, :] for i in range(s) for j in range(s)]
         return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv10 pieces (reference: common.py:7192 SCDown, :7203 AttentionPSA,
+# :7233 PSA, :8945 RepVGGDW, :8981 CIB, :9005 C2fCIB)
+# ---------------------------------------------------------------------------
+
+
+class RepVGGDW(nn.Module):
+    """Parallel 7x7 + 3x3 depthwise convs, summed (reference:
+    common.py:8945). The fuse() weight-fold is an inference identity XLA
+    performs via constant folding; not re-implemented."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2
+        a = Conv(c, 7, 1, g=c, act=False, dtype=self.dtype, name="conv")(x, train)
+        b = Conv(c, 3, 1, g=c, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return nn.silu(a + b)
+
+
+class CIB(nn.Module):
+    """Compact inverted block (reference: common.py:8981)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c1, 3, g=c1, dtype=self.dtype, name="cv1_0")(x, train)
+        y = Conv(2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        else:
+            y = Conv(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        y = Conv(self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)
+        y = Conv(self.c2, 3, g=self.c2, dtype=self.dtype, name="cv1_4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(C2f):
+    """C2f with CIB bottlenecks (reference: common.py:9005)."""
+
+    lk: bool = False
+
+    def bottleneck(self, i: int, c: int):
+        return CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m{i}")
+
+
+class SCDown(nn.Module):
+    """Separable compression downsample (reference: common.py:7192)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        return Conv(self.c2, self.k, self.s, g=self.c2, act=False, dtype=self.dtype, name="cv2")(y, train)
+
+
+class AttentionPSA(nn.Module):
+    """Single-scale MHSA with positional depthwise conv (reference:
+    common.py:7203-7231)."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        scale = key_dim**-0.5
+        nh_kd = key_dim * self.num_heads
+        qkv = Conv(self.dim + nh_kd * 2, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        qkv = qkv.reshape(b, n, self.num_heads, key_dim * 2 + head_dim).transpose(0, 2, 1, 3)
+        q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
+        attn = jnp.einsum("bhnk,bhmk->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        pe = Conv(self.dim, 3, 1, g=self.dim, act=False, dtype=self.dtype, name="pe")(
+            v.transpose(0, 2, 1, 3).reshape(b, h, w, c), train
+        )
+        return Conv(self.dim, 1, act=False, dtype=self.dtype, name="proj")(y + pe, train)
+
+
+class PSA(nn.Module):
+    """Partial self-attention block (reference: common.py:7233-7260)."""
+
+    c2: int
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c = int(c1 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, bpart = y[..., :c], y[..., c:]
+        bpart = bpart + AttentionPSA(c, num_heads=max(c // 64, 1), dtype=self.dtype, name="attn")(bpart, train)
+        f = Conv(c * 2, 1, dtype=self.dtype, name="ffn_0")(bpart, train)
+        f = Conv(c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
+        bpart = bpart + f
+        return Conv(c1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, bpart], axis=-1), train)
+
+
+class MaxPool2d(nn.Module):
+    """YAML-visible nn.MaxPool2d with torch [k, s, p] semantics
+    (yolov3-tiny rows: k2/s2/p0 halving pools + a k2/s1/p0 tail paired
+    with ZeroPad2d)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.p:
+            x = jnp.pad(
+                x,
+                ((0, 0), (self.p, self.p), (self.p, self.p), (0, 0)),
+                constant_values=-jnp.inf,
+            )
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1), "VALID"
+        ).astype(x.dtype)
+
+
+class ZeroPad2d(nn.Module):
+    """YAML-visible nn.ZeroPad2d (yolov3-tiny row 14: pad (0,1,0,1))."""
+
+    pads: Tuple[int, int, int, int] = (0, 1, 0, 1)  # (left, right, top, bottom)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.pads
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Tier-2 zoo, round 2 (reference: common.py:5570 LSKA, :5682 SPPF_LSKA,
+# :4450 CARAFE, :4246 DySample, :6954 Involution, :1171-1660 Swin/C3STR,
+# :6797 gnconv/HorBlock, :4312 Zoom_cat)
+# ---------------------------------------------------------------------------
+
+
+class LSKA(nn.Module):
+    """Large separable kernel attention (reference: common.py:5570):
+    decomposed (1,k)+(k,1) depthwise convs, a dilated pair, a 1x1
+    transition, then a multiplicative gate."""
+
+    k_size: int = 11
+    dtype: Dtype = jnp.float32
+
+    # (base_k, dilated_k, dilation) per k_size, matching the reference table
+    _CFG = {7: (3, 3, 2), 11: (3, 5, 2), 23: (5, 7, 3), 35: (5, 11, 3), 41: (5, 13, 3), 53: (5, 17, 3)}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        bk, dk, dil = self._CFG[self.k_size]
+        a = ConvRaw(c, (1, bk), g=c, use_bias=True, dtype=self.dtype, name="dw_h")(x)
+        a = ConvRaw(c, (bk, 1), g=c, use_bias=True, dtype=self.dtype, name="dw_v")(a)
+        a = ConvRaw(c, (1, dk), g=c, d=dil, use_bias=True, dtype=self.dtype, name="dwd_h")(a)
+        a = ConvRaw(c, (dk, 1), g=c, d=dil, use_bias=True, dtype=self.dtype, name="dwd_v")(a)
+        a = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv1")(a)
+        return x * a
+
+
+class SPPF_LSKA(nn.Module):
+    """SPPF with LSKA attention on the pooled concat (reference:
+    common.py:5682)."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = _maxpool(x, self.k)
+        y2 = _maxpool(y1, self.k)
+        y3 = _maxpool(y2, self.k)
+        cat = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        cat = LSKA(k_size=11, dtype=self.dtype, name="lska")(cat, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(cat, train)
+
+
+def _patches(x, k: int, dilation: int = 1, stride: int = 1):
+    """NHWC sliding patches -> (B, H', W', C*k*k), channel-slowest order
+    (torch nn.Unfold ordering)."""
+    pad = (k - 1) // 2 * dilation
+    return jax.lax.conv_general_dilated_patches(
+        x,
+        (k, k),
+        (stride, stride),
+        ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class CARAFE(nn.Module):
+    """Content-aware upsample (reference: common.py:4450): predict a
+    (scale*k_up)^2 reassembly kernel per source pixel, pixel-shuffle to the
+    upsampled grid, softmax, and reassemble k_up x k_up (dilated by scale)
+    neighborhoods of the nearest-upsampled input."""
+
+    k_enc: int = 3
+    k_up: int = 5
+    c_mid: int = 64
+    scale: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s, k = self.scale, self.k_up
+        W = Conv(self.c_mid, 1, dtype=self.dtype, name="comp")(x, train)
+        W = Conv((s * k) ** 2, self.k_enc, act=False, dtype=self.dtype, name="enc")(W, train)
+        # pixel shuffle: (b,h,w,(s*s)*k2) -> (b,h*s,w*s,k2); torch
+        # PixelShuffle splits channels as (k2, s, s) channel-major
+        k2 = k * k
+        W = W.reshape(b, h, w, k2, s, s).transpose(0, 1, 4, 2, 5, 3).reshape(b, h * s, w * s, k2)
+        W = jax.nn.softmax(W.astype(jnp.float32), axis=-1).astype(x.dtype)
+        up = _nearest_up2(x, s)
+        patches = _patches(up, k, dilation=s)  # (b, hs, ws, c*k2) c-slowest
+        patches = patches.reshape(b, h * s, w * s, c, k2)
+        return jnp.einsum("bhwk,bhwck->bhwc", W, patches)
+
+
+def _nearest_up2(x, s: int):
+    return jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+
+
+def _bilinear_sample(img, px, py):
+    """img (H, W, C); px/py (...,) pixel coords (x right, y down), border
+    clamped. Returns (..., C)."""
+    H, W = img.shape[0], img.shape[1]
+    px = jnp.clip(px, 0.0, W - 1.0)
+    py = jnp.clip(py, 0.0, H - 1.0)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = (px - x0)[..., None]
+    wy = (py - y0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) + v10 * (1 - wx) * wy + v11 * wx * wy
+    )
+
+
+class DySample(nn.Module):
+    """Dynamic-offset upsample, 'lp' style (reference: common.py:4246):
+    predict 2*groups*scale^2 offsets per pixel, add the sub-pixel init
+    grid, and bilinearly sample each channel group at its own shifted
+    coordinates."""
+
+    scale: int = 2
+    groups: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s, g = self.scale, self.groups
+        assert c % g == 0
+        off = ConvRaw(2 * g * s * s, 1, use_bias=True, dtype=self.dtype, name="offset")(x)
+        off = off.astype(jnp.float32) * 0.25
+        # init positions: sub-pixel centers of the s x s upsample cells
+        grid = (jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2) / s
+        iy, ix = jnp.meshgrid(grid, grid, indexing="ij")
+        init = jnp.stack([ix, iy], 0).reshape(2, s * s)  # (2, s2) x-then-y
+        # offsets laid out (2, g, s2) channel-major in the reference buffer
+        off = off.reshape(b, h, w, 2, g, s * s) + init[None, None, None, :, None, :]
+        # absolute source coords per (pixel, group, subcell)
+        cx = jnp.arange(w, dtype=jnp.float32) + 0.5
+        cy = jnp.arange(h, dtype=jnp.float32) + 0.5
+        px = off[..., 0, :, :] + cx[None, None, :, None, None] - 0.5
+        py = off[..., 1, :, :] + cy[None, :, None, None, None] - 0.5
+        # (b, h, w, g, s2) -> upsampled grid (b, h*s, w*s, g)
+        def shuffle(o):
+            return (
+                o.reshape(b, h, w, g, s, s).transpose(0, 1, 4, 2, 5, 3).reshape(b, h * s, w * s, g)
+            )
+        px, py = shuffle(px), shuffle(py)
+        xg = x.reshape(b, h, w, g, c // g)
+
+        def per_image(img, gx, gy):
+            def per_group(gi):
+                return _bilinear_sample(img[:, :, gi], gx[:, :, gi], gy[:, :, gi])
+            return jnp.stack([per_group(gi) for gi in range(g)], axis=2)
+
+        out = jax.vmap(per_image)(xg, px, py)  # (b, hs, ws, g, c/g)
+        return out.reshape(b, h * s, w * s, c)
+
+
+class Involution(nn.Module):
+    """Involution: per-pixel, per-group spatial kernels (reference:
+    common.py:6954)."""
+
+    c2: int  # unused; involution preserves channels (kept for YAML args)
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        gc = 16
+        groups = c // gc
+        red = Conv(c // 4, 1, dtype=self.dtype, name="conv1")(
+            x if self.stride == 1 else nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride)),
+            train,
+        )
+        k2 = self.kernel_size**2
+        weight = Conv(k2 * groups, 1, dtype=self.dtype, name="conv2")(red, train)
+        ho, wo = weight.shape[1:3]
+        patches = _patches(x, self.kernel_size, stride=self.stride)  # (b,ho,wo,c*k2)
+        patches = patches.reshape(b, ho, wo, groups, gc, k2)
+        weight = weight.reshape(b, ho, wo, groups, 1, k2)
+        return jnp.sum(weight * patches, axis=-1).reshape(b, ho, wo, c)
+
+
+# -- Swin (reference: common.py:1171-1367) ----------------------------------
+
+
+def window_partition(x, ws: int):
+    """(B, H, W, C) -> (B*nW, ws, ws, C); H, W divisible by ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+
+
+def window_reverse(wins, ws: int, h: int, w: int):
+    b = wins.shape[0] // (h * w // ws // ws)
+    x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (reference: common.py:1171)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):  # x: (B_, N, C)
+        ws = self.window_size
+        B_, N, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh),
+        )
+        coords = jnp.stack(jnp.meshgrid(jnp.arange(ws), jnp.arange(ws), indexing="ij"), 0).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        idx = (rel[0] + ws - 1) * (2 * ws - 1) + (rel[1] + ws - 1)  # (N, N)
+        bias = table[idx.reshape(-1)].reshape(N, N, nh).transpose(2, 0, 1)
+
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd**-0.5, qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) + bias[None].astype(q.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, nh, N, N) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(B_, nh, N, N)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinTransformerLayer(nn.Module):
+    """One (shifted-)window transformer layer on NHWC maps (reference:
+    common.py:1267-1361; DropPath omitted — inference-identity train
+    regularizer)."""
+
+    c: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, H, W, C)
+        b, h, w, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        shortcut = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        mask = None
+        if ss > 0:
+            y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
+            # static attention mask for the shifted windows
+            img = np.zeros((1, hp, wp, 1), np.float32)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                    img[:, hs, wsl] = cnt
+                    cnt += 1
+            mw = np.reshape(
+                np.transpose(
+                    img.reshape(1, hp // ws, ws, wp // ws, ws, 1), (0, 1, 3, 2, 4, 5)
+                ),
+                (-1, ws * ws),
+            )
+            am = mw[:, None, :] - mw[:, :, None]
+            mask = jnp.asarray(np.where(am != 0, -100.0, 0.0), jnp.float32)
+
+        wins = window_partition(y, ws).reshape(-1, ws * ws, c)
+        wins = WindowAttention(c, ws, self.num_heads, dtype=self.dtype, name="attn")(wins, mask)
+        y = window_reverse(wins.reshape(-1, ws, ws, c), ws, hp, wp)
+        if ss > 0:
+            y = jnp.roll(y, (ss, ss), axis=(1, 2))
+        y = y[:, :h, :w]
+        x = shortcut + y
+        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(z)
+        return x + z
+
+
+class SwinTransformerBlock(nn.Module):
+    """Stack of alternating plain/shifted Swin layers (reference:
+    common.py:1361)."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    window_size: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, 1, dtype=self.dtype, name="conv")(x, train)
+        for i in range(self.num_layers):
+            x = SwinTransformerLayer(
+                self.c2,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                dtype=self.dtype,
+                name=f"tr{i}",
+            )(x, train)
+        return x
+
+
+class C3STR(nn.Module):
+    """C3 with a Swin transformer inner branch (reference: common.py:1632)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a = SwinTransformerBlock(c_, max(c_ // 32, 1), self.n, dtype=self.dtype, name="m")(a, train)
+        bshort = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, bshort], axis=-1), train
+        )
+
+
+# -- HorNet (reference: common.py:6797-6952) --------------------------------
+
+
+class GnConv(nn.Module):
+    """Recursive gated convolution g^n-conv (reference: common.py:6797)."""
+
+    dim: int
+    order: int = 5
+    s: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims = [self.dim // 2**i for i in range(self.order)][::-1]
+        fused = ConvRaw(2 * self.dim, 1, use_bias=True, dtype=self.dtype, name="proj_in")(x)
+        pwa, abc = fused[..., : dims[0]], fused[..., dims[0] :]
+        dw = ConvRaw(sum(dims), 7, g=sum(dims), use_bias=True, dtype=self.dtype, name="dwconv")(abc)
+        dw = dw * self.s
+        splits = np.cumsum(dims)[:-1].tolist()
+        dw_list = jnp.split(dw, splits, axis=-1)
+        y = pwa * dw_list[0]
+        for i in range(self.order - 1):
+            y = ConvRaw(dims[i + 1], 1, use_bias=True, dtype=self.dtype, name=f"pw{i}")(y) * dw_list[i + 1]
+        return ConvRaw(self.dim, 1, use_bias=True, dtype=self.dtype, name="proj_out")(y)
+
+
+class HorBlock(nn.Module):
+    """HorNet block: gnconv token mixer + MLP, layer-scaled (reference:
+    common.py:6869-6894)."""
+
+    c2: int
+    order: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        g1 = self.param("gamma1", nn.initializers.constant(1e-6), (c,))
+        g2 = self.param("gamma2", nn.initializers.constant(1e-6), (c,))
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = GnConv(c, order=self.order, dtype=self.dtype, name="gnconv")(y, train)
+        x = x + g1 * y
+        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.Dense(4 * c, dtype=self.dtype, name="pwconv1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(c, dtype=self.dtype, name="pwconv2")(z)
+        return x + g2 * z
+
+
+class ZoomCat(nn.Module):
+    """Zoom_cat 3-scale fusion: pool large, upsample small, concat at the
+    middle scale (reference: common.py:4312)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        l, m, s = xs
+        th, tw = m.shape[1:3]
+        kh, kw = l.shape[1] // th, l.shape[2] // tw
+        lm = nn.max_pool(l, (kh, kw), (kh, kw)) + nn.avg_pool(l, (kh, kw), (kh, kw))
+        sm = jnp.repeat(jnp.repeat(s, th // s.shape[1], 1), tw // s.shape[2], 2)
+        return jnp.concatenate([lm, m, sm], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# RFEM / EVC families (reference: common.py:8298 TridentBlock, :8389 RFEM,
+# :8638 C3RFEM, :7978 Encoding, :8034 EVCConvBlock, :8180 LVCBlock,
+# :8410 ConvMixer)
+# ---------------------------------------------------------------------------
+
+
+class TridentBlock(nn.Module):
+    """Weight-shared 3-branch dilated residual block: the SAME 1x1 + 3x3
+    kernels applied at dilation 1/2/3 (reference: common.py:8298). Returns
+    the 3 branch maps."""
+
+    c2: int
+    stride: int = 1
+    e: float = 0.5
+    dilate: Tuple[int, int, int] = (1, 2, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        w1 = self.param("share_weightconv1", KERNEL_INIT, (1, 1, c1, c_))
+        w2 = self.param("share_weightconv2", KERNEL_INIT, (3, 3, c_, self.c2))
+
+        def norm(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name=name
+            )
+
+        bn1, bn2 = norm("bn1"), norm("bn2")
+
+        def branch(inp, d):
+            y = jax.lax.conv_general_dilated(
+                inp.astype(jnp.float32), w1.astype(jnp.float32), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(self.dtype)
+            y = nn.silu(bn1(y))
+            y = jax.lax.conv_general_dilated(
+                y.astype(jnp.float32), w2.astype(jnp.float32), (self.stride, self.stride),
+                ((d, d), (d, d)), rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(self.dtype)
+            return nn.silu(bn2(y) + inp)
+
+        xs = [x, x, x] if not isinstance(x, (list, tuple)) else list(x)
+        return [branch(xs[i], self.dilate[i]) for i in range(3)]
+
+
+class RFEM(nn.Module):
+    """Receptive-field enhancement: sum of the trident branches + input
+    (reference: common.py:8389)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = TridentBlock(self.c2, e=self.e, dtype=self.dtype, name="t0")(x, train)
+        for i in range(1, self.n):
+            out = TridentBlock(self.c2, e=self.e, dtype=self.dtype, name=f"t{i}")(out, train)
+        y = out[0] + out[1] + out[2] + x
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn"
+        )(y)
+        return nn.silu(y)
+
+
+class C3RFEM(nn.Module):
+    """C3 with an RFEM inner branch (reference: common.py:8638)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RFEM(c_, n=1, e=self.e, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class Encoding(nn.Module):
+    """Learned codebook soft-assignment encoder (reference: common.py:7978)."""
+
+    num_codes: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C) -> (B, num_codes, C)
+        b, h, w, c = x.shape
+        k = self.num_codes
+        std = 1.0 / ((k * c) ** 0.5)
+        codes = self.param("codewords", nn.initializers.uniform(2 * std), (k, c))
+        codes = codes - std  # uniform(-std, std)
+        scale = self.param("scale", nn.initializers.uniform(1.0), (k,))
+        scale = -scale  # uniform(-1, 0)
+        flat = x.reshape(b, h * w, 1, c).astype(jnp.float32)
+        d2 = jnp.sum(jnp.square(flat - codes[None, None]), axis=-1)  # (b, n, k)
+        w_asn = jax.nn.softmax(scale[None, None] * d2, axis=2)
+        enc = jnp.sum(w_asn[..., None] * (flat - codes[None, None]), axis=1)  # (b, k, c)
+        return enc.astype(self.dtype)
+
+
+class EVCConvBlock(nn.Module):
+    """Bottleneck conv block of the EVC neck (reference: common.py:8034)."""
+
+    c2: int
+    res_conv: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 4
+
+        def norm(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=1e-6, dtype=self.dtype, name=name
+            )
+
+        y = ConvRaw(c, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = ConvRaw(c, 3, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = ConvRaw(self.c2, 1, use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        res = x
+        if self.res_conv:
+            res = ConvRaw(self.c2, 1, use_bias=False, dtype=self.dtype, name="residual_conv")(x)
+            res = norm("residual_bn")(res)
+        return nn.relu(y + res)
+
+
+class LVCBlock(nn.Module):
+    """Learned-vector-codebook channel gating (reference: common.py:8180)."""
+
+    c2: int
+    num_codes: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        x = EVCConvBlock(c1, res_conv=True, dtype=self.dtype, name="conv_1")(x, train)
+        y = ConvRaw(c1, 1, use_bias=False, dtype=self.dtype, name="lvc_conv")(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="lvc_bn"
+        )(y)
+        y = nn.relu(y)
+        en = Encoding(self.num_codes, dtype=self.dtype, name="encoding")(y)  # (b, k, c)
+        en = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="en_bn"
+        )(en)
+        en = nn.relu(en).mean(axis=1)  # (b, c)
+        gam = nn.sigmoid(nn.Dense(c1, dtype=self.dtype, name="fc")(en))
+        return nn.relu(x + x * gam[:, None, None, :])
+
+
+class ConvMixer(nn.Module):
+    """Patch-embed + depthwise-mixer stack with an exp SE gate (reference:
+    common.py:8410)."""
+
+    c2: int
+    depth: int = 1
+    kernel_size: int = 3
+    patch_size: int = 4
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c2 = c1  # reference forces c2 = c1 (common.py:8412)
+
+        def norm(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name=name
+            )
+
+        y = ConvRaw(c2, self.patch_size, self.patch_size, p=0, use_bias=True, dtype=self.dtype, name="patch")(x)
+        y = norm("bn_p")(nn.gelu(y))
+        for i in range(self.depth):
+            r = ConvRaw(c2, self.kernel_size, g=c2, p=1, use_bias=True, dtype=self.dtype, name=f"dw{i}")(y)
+            r = norm(f"bn_dw{i}")(nn.gelu(r))
+            y = y + r
+            y = ConvRaw(c1, 1, use_bias=True, dtype=self.dtype, name=f"pw{i}")(y)
+            y = norm(f"bn_pw{i}")(nn.gelu(y))
+        v = jnp.mean(y, axis=(1, 2))
+        v = nn.relu(nn.Dense(c2 // self.reduction, use_bias=False, dtype=self.dtype, name="fc1")(v))
+        v = nn.sigmoid(nn.Dense(c2, use_bias=False, dtype=self.dtype, name="fc2")(v))
+        return x * jnp.exp(v)[:, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Attention set, round 2 (reference: common.py:5263 EMA, :5295 LSKblock,
+# :6353 MLCA, :7124 TripletAttention, :6985 GlobalContextBlock, :7068
+# NonLocalBlock, :5961 CoTAttention, :5702 DoubleAttention, :6480
+# ParallelPolarizedSelfAttention, :6565 SpatialGroupEnhance, :6312 MHSA,
+# :6543 S2Attention, :5876 EfficientAttention, :6228 ELA, :9306
+# MSCAAttention, :8527 MultiSEAM)
+# All NHWC; each is a drop-in channel-preserving block.
+# ---------------------------------------------------------------------------
+
+
+class EMAAttention(nn.Module):
+    """Efficient multi-scale attention (reference: common.py:5263): grouped
+    coordinate gating + cross-branch spatial weighting."""
+
+    factor: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.factor
+        cg = c // g
+        xg = x.reshape(b * g, h, w, cg)
+        x_h = jnp.mean(xg, axis=2)  # (bg, h, cg)
+        x_w = jnp.mean(xg, axis=1)  # (bg, w, cg)
+        hw = jnp.concatenate([x_h, x_w], axis=1)[:, :, None, :]  # (bg, h+w, 1, cg)
+        hw = ConvRaw(cg, 1, use_bias=True, dtype=self.dtype, name="conv1x1")(hw)[:, :, 0]
+        xh, xw = hw[:, :h], hw[:, h:]
+        gated = xg * nn.sigmoid(xh)[:, :, None, :] * nn.sigmoid(xw)[:, None, :, :]
+        x1 = nn.GroupNorm(num_groups=cg, dtype=self.dtype, name="gn")(gated)
+        x2 = ConvRaw(cg, 3, use_bias=True, dtype=self.dtype, name="conv3x3")(xg)
+        a11 = jax.nn.softmax(jnp.mean(x1, axis=(1, 2)), axis=-1)[:, None, :]  # (bg,1,cg)
+        a21 = jax.nn.softmax(jnp.mean(x2, axis=(1, 2)), axis=-1)[:, None, :]
+        f12 = x2.reshape(b * g, h * w, cg)
+        f22 = x1.reshape(b * g, h * w, cg)
+        weights = (
+            jnp.einsum("bkc,bnc->bn", a11, f12) + jnp.einsum("bkc,bnc->bn", a21, f22)
+        ).reshape(b * g, h, w, 1)
+        return (xg * nn.sigmoid(weights)).reshape(b, h, w, c)
+
+
+class LSKblock(nn.Module):
+    """Large-selective-kernel spatial gating (reference: common.py:5295)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a1 = ConvRaw(c, 5, g=c, use_bias=True, dtype=self.dtype, name="conv0")(x)
+        a2 = ConvRaw(c, 7, g=c, d=3, use_bias=True, dtype=self.dtype, name="conv_spatial")(a1)
+        a1 = ConvRaw(c // 2, 1, use_bias=True, dtype=self.dtype, name="conv1")(a1)
+        a2 = ConvRaw(c // 2, 1, use_bias=True, dtype=self.dtype, name="conv2")(a2)
+        attn = jnp.concatenate([a1, a2], axis=-1)
+        agg = jnp.concatenate(
+            [jnp.mean(attn, -1, keepdims=True), jnp.max(attn, -1, keepdims=True)], axis=-1
+        )
+        sig = nn.sigmoid(ConvRaw(2, 7, use_bias=True, dtype=self.dtype, name="conv_squeeze")(agg))
+        attn = a1 * sig[..., 0:1] + a2 * sig[..., 1:2]
+        return x * ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv")(attn)
+
+
+def _adaptive_avg_pool(x, out_hw):
+    """NHWC adaptive average pool to (oh, ow)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if h == oh and w == ow:
+        return x
+    if h % oh == 0 and w % ow == 0:
+        return x.reshape(b, oh, h // oh, ow, w // ow, c).mean(axis=(2, 4))
+    return jax.image.resize(x, (b, oh, ow, c), method="linear")
+
+
+class MLCA(nn.Module):
+    """Mixed local-channel attention (reference: common.py:6353)."""
+
+    local_size: int = 5
+    gamma: int = 2
+    b: int = 1
+    local_weight: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b_, h, w, c = x.shape
+        ls = self.local_size
+        t = int(abs(math.log2(c) + self.b) / self.gamma)
+        k = t if t % 2 else t + 1
+        k = max(k, 1)
+        local = _adaptive_avg_pool(x, (ls, ls))  # (b, ls, ls, c)
+        glob = jnp.mean(local, axis=(1, 2))  # (b, c)
+
+        def conv1d(v, name):  # channel-dim 1D conv, kernel k
+            # (b, n, c) -> depthwise over c via conv on the channel axis
+            vv = v[..., None]  # (b, n, c, 1)
+            kern = self.param(name, KERNEL_INIT, (1, k, 1, 1))
+            return jax.lax.conv_general_dilated(
+                vv.reshape(-1, v.shape[-1], 1)[:, None].astype(jnp.float32),
+                kern.reshape(1, k, 1, 1).astype(jnp.float32),
+                (1, 1),
+                ((0, 0), ((k - 1) // 2, (k - 1) // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(v.shape)
+
+        y_local = conv1d(local.reshape(b_, ls * ls, c), "conv_local").reshape(b_, ls, ls, c)
+        y_global = conv1d(glob[:, None, :], "conv")[:, 0]  # (b, c)
+        att_local = nn.sigmoid(y_local)
+        att_global = jnp.broadcast_to(nn.sigmoid(y_global)[:, None, None, :], att_local.shape)
+        att = att_global * (1 - self.local_weight) + att_local * self.local_weight
+        att = jax.image.resize(att, (b_, h, w, c), method="linear")
+        return x * att.astype(x.dtype)
+
+
+class TripletAttention(nn.Module):
+    """Rotate-to-interact triplet attention (reference: common.py:7124)."""
+
+    dtype: Dtype = jnp.float32
+
+    def _gate(self, t, name):
+        z = jnp.concatenate(
+            [jnp.max(t, -1, keepdims=True), jnp.mean(t, -1, keepdims=True)], axis=-1
+        )
+        z = ConvRaw(1, 7, use_bias=False, dtype=self.dtype, name=name)(z)
+        return t * nn.sigmoid(z)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # branch 1: channel stays last (plain spatial gate)
+        b1 = self._gate(x, "cw")
+        # branch 2: rotate H<->C
+        b2 = self._gate(x.transpose(0, 3, 2, 1), "hc").transpose(0, 3, 2, 1)
+        # branch 3: rotate W<->C
+        b3 = self._gate(x.transpose(0, 1, 3, 2), "wc").transpose(0, 1, 3, 2)
+        return (b1 + b2 + b3) / 3.0
+
+
+class GlobalContextBlock(nn.Module):
+    """GCNet global-context channel add (reference: common.py:6985)."""
+
+    ratio: float = 0.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ctx_w = ConvRaw(1, 1, use_bias=True, dtype=self.dtype, name="conv_mask")(x)  # (b,h,w,1)
+        ctx_w = jax.nn.softmax(ctx_w.reshape(b, h * w, 1).astype(jnp.float32), axis=1)
+        ctx = jnp.einsum("bnk,bnc->bc", ctx_w, x.reshape(b, h * w, c).astype(jnp.float32))
+        hid = max(int(c * self.ratio), 1)
+        t = nn.Dense(hid, dtype=self.dtype, name="fc1")(ctx.astype(self.dtype))
+        t = nn.LayerNorm(dtype=self.dtype, name="ln")(t)
+        t = nn.relu(t)
+        t = nn.Dense(c, dtype=self.dtype, name="fc2")(t)
+        return x + t[:, None, None, :]
+
+
+class NonLocalBlock(nn.Module):
+    """Embedded-Gaussian non-local block (reference: common.py:7068)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        inter = max(c // 2, 1)
+        theta = ConvRaw(inter, 1, use_bias=True, dtype=self.dtype, name="theta")(x).reshape(b, h * w, inter)
+        phi = ConvRaw(inter, 1, use_bias=True, dtype=self.dtype, name="phi")(x).reshape(b, h * w, inter)
+        gfn = ConvRaw(inter, 1, use_bias=True, dtype=self.dtype, name="g")(x).reshape(b, h * w, inter)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", theta, phi).astype(jnp.float32), axis=-1
+        ).astype(x.dtype)
+        y = jnp.einsum("bnm,bmc->bnc", attn, gfn).reshape(b, h, w, inter)
+        return x + ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="out")(y)
+
+
+class CoTAttention(nn.Module):
+    """Contextual transformer attention (reference: common.py:5961)."""
+
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.kernel_size
+        key = Conv(c, k, g=4, act=True, dtype=self.dtype, name="key_embed")(x, train)
+        val = Conv(c, 1, act=False, dtype=self.dtype, name="value_embed")(x, train)
+        y = jnp.concatenate([key, x], axis=-1)
+        att = Conv(2 * c // 4, 1, dtype=self.dtype, name="att1")(y, train)
+        att = ConvRaw(k * k * c, 1, use_bias=True, dtype=self.dtype, name="att2")(att)
+        att = att.reshape(b, h, w, c, k * k).mean(-1)
+        k2 = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype) * val
+        return key + k2
+
+
+class DoubleAttention(nn.Module):
+    """A2-Nets double attention (reference: common.py:5702)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        cm = max(c // 2, 1)
+        A = ConvRaw(cm, 1, use_bias=True, dtype=self.dtype, name="convA")(x).reshape(b, h * w, cm)
+        B = ConvRaw(cm, 1, use_bias=True, dtype=self.dtype, name="convB")(x).reshape(b, h * w, cm)
+        V = ConvRaw(cm, 1, use_bias=True, dtype=self.dtype, name="convV")(x).reshape(b, h * w, cm)
+        att_maps = jax.nn.softmax(B.astype(jnp.float32), axis=1)
+        global_desc = jnp.einsum("bnc,bnd->bcd", att_maps, A.astype(jnp.float32))  # (b, cm, cm)
+        att_vecs = jax.nn.softmax(V.astype(jnp.float32), axis=-1)
+        z = jnp.einsum("bnc,bdc->bnd", att_vecs, global_desc).reshape(b, h, w, cm).astype(x.dtype)
+        return x + ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv_out")(z)
+
+
+class ParallelPolarizedSelfAttention(nn.Module):
+    """Polarized self-attention, parallel variant (reference:
+    common.py:6480)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ch = c // 2
+        # channel branch
+        wv = ConvRaw(ch, 1, use_bias=True, dtype=self.dtype, name="ch_wv")(x).reshape(b, h * w, ch)
+        wq = ConvRaw(1, 1, use_bias=True, dtype=self.dtype, name="ch_wq")(x).reshape(b, h * w, 1)
+        wq = jax.nn.softmax(wq.astype(jnp.float32), axis=1).astype(x.dtype)
+        z = jnp.einsum("bnc,bnk->bc", wv, wq)[:, None, None, :]  # (b,1,1,ch)
+        z = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="ch_wz")(z)
+        z = nn.sigmoid(nn.LayerNorm(dtype=self.dtype, name="ln")(z))
+        ch_out = x * z
+        # spatial branch
+        sv = ConvRaw(ch, 1, use_bias=True, dtype=self.dtype, name="sp_wv")(x)
+        sq = ConvRaw(ch, 1, use_bias=True, dtype=self.dtype, name="sp_wq")(x)
+        sq = jnp.mean(sq, axis=(1, 2))  # (b, ch)
+        sq = jax.nn.softmax(sq.astype(jnp.float32), axis=-1).astype(x.dtype)
+        sp = nn.sigmoid(jnp.einsum("bhwc,bc->bhw", sv, sq))[..., None]
+        return ch_out + x * sp
+
+
+class SpatialGroupEnhance(nn.Module):
+    """SGE grouped spatial gating (reference: common.py:6565)."""
+
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.groups
+        xg = x.reshape(b * g, h, w, c // g)
+        xn = xg * jnp.mean(xg, axis=(1, 2), keepdims=True)
+        t = jnp.sum(xn, axis=-1, keepdims=True)  # (bg, h, w, 1)
+        mean = jnp.mean(t, axis=(1, 2), keepdims=True)
+        std = jnp.std(t, axis=(1, 2), keepdims=True) + 1e-5
+        t = (t - mean) / std
+        weight = self.param("weight", nn.initializers.ones, (1, 1, 1, g))
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, g))
+        t = t.reshape(b, h, w, g) * weight + bias
+        t = t.reshape(b * g, h, w, 1)
+        return (xg * nn.sigmoid(t)).reshape(b, h, w, c)
+
+
+class MHSA(nn.Module):
+    """2D multi-head self-attention with learned positional encodings
+    (reference: common.py:6312)."""
+
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        q = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="query")(x)
+        k = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="key")(x)
+        v = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="value")(x)
+        rel_h = self.param("rel_h", nn.initializers.normal(0.02), (1, 1, h, 1, hd))
+        rel_w = self.param("rel_w", nn.initializers.normal(0.02), (1, w, 1, 1, hd))
+        pos = (rel_h + rel_w).reshape(1, h * w, 1, hd)
+
+        def heads(t):
+            return t.reshape(b, h * w, nh, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k + 0)  # content
+        attn = attn + jnp.einsum("bnhd,kmhd->bhnm", q, jnp.broadcast_to(pos, (1, h * w, 1, hd)))
+        attn = jax.nn.softmax(attn.astype(jnp.float32) / math.sqrt(hd), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, c)
+        return out
+
+
+class S2Attention(nn.Module):
+    """Spatial-shift MLP attention (reference: common.py:3007/:6543)."""
+
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def _shift(x, part: int):
+        # 4-way channel-partitioned spatial shift
+        b, h, w, c = x.shape
+        q = c // 4
+        outs = []
+        for i, (dy, dx) in enumerate(((0, 1), (0, -1), (1, 0), (-1, 0))):
+            seg = x[..., i * q : (i + 1) * q] if i < 3 else x[..., 3 * q :]
+            outs.append(jnp.roll(seg, (dy * part, dx * part), axis=(1, 2)))
+        return jnp.concatenate(outs, axis=-1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.Dense(c * 3, dtype=self.dtype, name="mlp1")(x)
+        x1 = self._shift(y[..., :c], 1)
+        x2 = self._shift(y[..., c : 2 * c], -1)
+        x3 = y[..., 2 * c :]
+        stacked = jnp.stack([x1, x2, x3], axis=1)  # (b,3,h,w,c)
+        a = jnp.mean(stacked, axis=(2, 3))  # (b,3,c)
+        ahat = nn.Dense(3 * c, dtype=self.dtype, name="mlp_a")(a.reshape(a.shape[0], -1))
+        ahat = jax.nn.softmax(ahat.reshape(a.shape[0], 3, c).astype(jnp.float32), axis=1).astype(x.dtype)
+        fused = jnp.sum(stacked * ahat[:, :, None, None, :], axis=1)
+        return nn.Dense(c, dtype=self.dtype, name="mlp2")(fused)
+
+
+class EfficientAttention(nn.Module):
+    """Linear-complexity attention: softmax(K)^T V context then
+    softmax(Q) read-out (reference: common.py:5876)."""
+
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        q = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="queries")(x).reshape(b, h * w, nh, hd)
+        k = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="keys")(x).reshape(b, h * w, nh, hd)
+        v = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="values")(x).reshape(b, h * w, nh, hd)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum("bnhd,bnhe->bhde", k, v.astype(jnp.float32))
+        out = jnp.einsum("bnhd,bhde->bnhe", q, ctx).reshape(b, h, w, c).astype(x.dtype)
+        return x + ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="reproj")(out)
+
+
+class ELA(nn.Module):
+    """Efficient local attention: strip-pooled 1D conv gates (reference:
+    common.py:6228)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        xh = jnp.mean(x, axis=2)[:, :, None, :]  # (b, h, 1, c)
+        xw = jnp.mean(x, axis=1)[:, None, :, :]  # (b, 1, w, c)
+        kh = ConvRaw(c, (7, 1), g=c, use_bias=False, dtype=self.dtype, name="conv_h")(xh)
+        kw = ConvRaw(c, (1, 7), g=c, use_bias=False, dtype=self.dtype, name="conv_w")(xw)
+        gn = nn.GroupNorm(num_groups=16 if c % 16 == 0 else 1, dtype=self.dtype, name="gn")
+        ah = nn.sigmoid(gn(kh))
+        aw = nn.sigmoid(nn.GroupNorm(num_groups=16 if c % 16 == 0 else 1, dtype=self.dtype, name="gn2")(kw))
+        return x * ah * aw
+
+
+class MSCAAttention(nn.Module):
+    """Multi-scale strip-conv attention from SegNeXt (reference:
+    common.py:9306)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        u = x
+        a = ConvRaw(c, 5, g=c, use_bias=True, dtype=self.dtype, name="conv0")(x)
+        for i, k in enumerate((7, 11, 21)):
+            s = ConvRaw(c, (1, k), g=c, use_bias=True, dtype=self.dtype, name=f"conv{i}_1")(a)
+            s = ConvRaw(c, (k, 1), g=c, use_bias=True, dtype=self.dtype, name=f"conv{i}_2")(s)
+            a = a + s
+        a = ConvRaw(c, 1, use_bias=True, dtype=self.dtype, name="conv3")(a)
+        return u * a
+
+
+class MultiSEAM(nn.Module):
+    """SEAM with multi-dilation depthwise branches averaged (reference:
+    common.py:8527)."""
+
+    c2: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for i, d in enumerate((1, 2, 3)):
+            c = x.shape[-1]
+            y = ConvRaw(c, 3, g=c, d=d, use_bias=True, dtype=self.dtype, name=f"dcov{i}")(x)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                dtype=self.dtype, name=f"bn{i}",
+            )(nn.gelu(y))
+            outs.append(y)
+        y = sum(outs) / 3.0
+        c = x.shape[-1]
+        v = jnp.mean(y, axis=(1, 2))
+        v = nn.Dense(max(c // 16, 1), use_bias=False, dtype=self.dtype, name="fc1")(v)
+        v = nn.relu(v)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(v)
+        gate = jnp.exp(nn.sigmoid(v))
+        return x * gate[:, None, None, :]

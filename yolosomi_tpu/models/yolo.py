@@ -52,7 +52,7 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "SPP": (L.SPP, "conv"),
     "SPPF": (L.SPPF, "conv"),
     "SEAM": (L.SEAM, "seam"),
-    "MultiSEAM": (L.SEAM, "seam"),
+    "MultiSEAM": (L.MultiSEAM, "seam"),
     "ODConv_3rd": (L.ODConv, "conv"),
     "ODConv": (L.ODConv, "conv"),
     "CBAM": (L.CBAM, "plain"),
@@ -88,6 +88,44 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "C2fCBAM": (L.C2fCBAM, "csp"),
     "C2fEMACBAM": (L.C2fEMACBAM, "csp"),
     "C2fEACBAM": (L.C2fEMACBAM, "csp"),  # alias for the reference YAML typo
+    "C3STR": (L.C3STR, "csp"),
+    "EMA": (L.EMAAttention, "plain"),
+    "LSKblock": (L.LSKblock, "plain"),
+    "MLCA": (L.MLCA, "plain"),
+    "TripletAttention": (L.TripletAttention, "plain"),
+    "GlobalContextBlock": (L.GlobalContextBlock, "plain"),
+    "NonLocalBlock": (L.NonLocalBlock, "plain"),
+    "CoT": (L.CoTAttention, "plain"),
+    "CoTAttention": (L.CoTAttention, "plain"),
+    "DoubleAttention": (L.DoubleAttention, "plain"),
+    "ParallelPolarizedSelfAttention": (L.ParallelPolarizedSelfAttention, "plain"),
+    "SpatialGroupEnhance": (L.SpatialGroupEnhance, "plain"),
+    "MHSA": (L.MHSA, "plain"),
+    "S2Attention": (L.S2Attention, "plain"),
+    "EfficientAttention": (L.EfficientAttention, "plain"),
+    "ELA": (L.ELA, "plain"),
+    "MSCAAttention": (L.MSCAAttention, "plain"),
+    "C3RFEM": (L.C3RFEM, "csp"),
+    "RFEM": (L.RFEM, "conv"),
+    "LVCBlock": (L.LVCBlock, "plain"),
+    "ConvMixer": (L.ConvMixer, "conv"),
+    "SwinTransformerBlock": (L.SwinTransformerBlock, "conv"),
+    "SPPF_LSKA": (L.SPPF_LSKA, "conv"),
+    "LSKA": (L.LSKA, "plain"),
+    "CARAFE": (L.CARAFE, "carafe"),
+    "DySample": (L.DySample, "dysample"),
+    "Involution": (L.Involution, "involution"),
+    "HorBlock": (L.HorBlock, "plain"),
+    "HorNet": (L.HorBlock, "plain"),
+    "gnconv": (L.GnConv, "plain"),
+    "Zoom_cat": (L.ZoomCat, "zoomcat"),
+    "C2fCIB": (L.C2fCIB, "csp"),
+    "CIB": (L.CIB, "conv"),
+    "PSA": (L.PSA, "conv"),
+    "SCDown": (L.SCDown, "conv"),
+    "RepVGGDW": (L.RepVGGDW, "plain"),
+    "nn.MaxPool2d": (L.MaxPool2d, "pool"),
+    "nn.ZeroPad2d": (L.ZeroPad2d, "zeropad"),
     "Contract": (L.Contract, "contract"),
     "Expand": (L.Expand, "expand"),
     "nn.Upsample": (L.Upsample, "upsample"),
@@ -100,9 +138,28 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "DecoupledDetect": (heads_lib.DecoupledDetect, "head"),
     "DecoupledDetect1": (heads_lib.DecoupledDetect, "head"),
     "Decoupled_Detect": (heads_lib.DecoupledDetect, "head"),
+    "DetectODConv": (heads_lib.DetectODConvHead, "head"),
+    "IDetect": (heads_lib.IDetect, "head"),
+    "IAuxDetect": (heads_lib.IAuxDetect, "head"),
+    "ASFF_Detect": (heads_lib.ASFFDetect, "head"),
+    "CLLADetect": (heads_lib.CLLADetect, "head"),
+    "TSCODE_Detect": (heads_lib.TSCODEDetect, "head"),
     "DetectYOLOv8": (heads_lib.DetectV8, "head_v8"),
     "DetectYOLO8Head": (heads_lib.DetectV8, "head_v8"),
     "DetectV8": (heads_lib.DetectV8, "head_v8"),
+    "DetectYolov11": (heads_lib.DetectV11, "head_v8"),
+    "DetectV11": (heads_lib.DetectV11, "head_v8"),
+}
+
+# Some heads consume more input maps than they have detection levels; this
+# maps head name -> fn(n_inputs) -> slice of the input list that holds the
+# actual detection levels (reference: CLLADetect yolo.py:325 fuses inputs
+# 0+1 into level 0; TSCODE_Detect yolo.py:631 detects on the middle maps;
+# IAuxDetect yolo.py:506 evals only the first half).
+_HEAD_LEVEL_SLICE = {
+    "CLLADetect": lambda n: slice(1, n),
+    "TSCODE_Detect": lambda n: slice(1, n - 1),
+    "IAuxDetect": lambda n: slice(0, n // 2),
 }
 
 
@@ -299,6 +356,37 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         elif kind == "addN":
             c2 = max(in_ch(x) for x in f)
             mod = cls(c2, dtype=dtype)
+        elif kind == "carafe":
+            # content-aware 2x upsample; channel-preserving (common.py:4450)
+            c2 = in_ch(f)
+            mod = cls(*args, dtype=dtype)
+            stride /= 2
+        elif kind == "dysample":
+            c2 = in_ch(f)
+            scale = args[0] if args else 2
+            mod = cls(*args, dtype=dtype)
+            stride /= scale
+        elif kind == "involution":
+            # reference Involution outputs c1 channels regardless of the
+            # YAML c2 arg (common.py:6954) — channel-preserving here
+            c2 = in_ch(f)
+            k = args[1] if len(args) > 1 else 3
+            s_loc = args[2] if len(args) > 2 else 1
+            mod = cls(c2, kernel_size=k, stride=s_loc, dtype=dtype)
+            stride *= s_loc
+        elif kind == "zoomcat":
+            c2 = sum(in_ch(x) for x in f)
+            mod = cls(dtype=dtype)
+        elif kind == "pool":
+            c2 = in_ch(f)
+            k = args[0] if args else 2
+            s = args[1] if len(args) > 1 else k
+            p = args[2] if len(args) > 2 else 0
+            mod = cls(k=k, s=s, p=p)
+            stride *= s
+        elif kind == "zeropad":
+            c2 = in_ch(f)
+            mod = cls(pads=tuple(args[0]) if args else (0, 1, 0, 1))
         elif kind == "spd":
             c2 = in_ch(f) * 4
             mod = cls()
@@ -315,8 +403,9 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             stride /= g
         elif kind in ("head", "head_v8"):
             head_from = tuple(x if x >= 0 else len(chans) + x for x in f)
-            head_strides = tuple(float(in_stride(x)) for x in f)
-            nl = len(f)
+            lv = _HEAD_LEVEL_SLICE.get(mname, lambda n: slice(0, n))(len(f))
+            head_strides = tuple(float(in_stride(x)) for x in f[lv])
+            nl = len(f[lv])
             if kind == "head_v8":
                 # anchor-free: no anchor args (reference DetectYOLOv8 takes
                 # only nc + channels, yolo.py:725)
@@ -342,13 +431,18 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         modules.append(mod)
         specs.append(LayerSpec(i, f, n_rep, mname, args, int(c2), stride))
         save.extend(x % i for x in ([f] if isinstance(f, int) else list(f)) if x != -1)
+        if kind in ("head", "head_v8"):
+            # the head reads all inputs via absolute indices (head_from),
+            # including any written as -1 — they must be saved too
+            save.extend(head_from)
         if i == 0:
             chans, strides = [], []
         chans.append(int(c2))
         strides.append(stride)
 
-    nl = len(head_from)
-    head_strides = tuple(specs[j].stride for j in head_from)
+    lv = _HEAD_LEVEL_SLICE.get(head_name, lambda n: slice(0, n))(len(head_from))
+    nl = len(head_from[lv])
+    head_strides = tuple(specs[j].stride for j in head_from[lv])
     anchors_px = _resolve_anchors(anchors, nl)
     meta = ModelMeta(head_type=head_name,
         nc=nc,
@@ -403,7 +497,7 @@ class DetectionModel(nn.Module):
                 prev = m([saved[j] for j in self.head_from], train)
                 break
             if isinstance(f, int):
-                inp = prev if f == -1 else saved[f]
+                inp = prev if f == -1 else saved[f if f >= 0 else i + f]
             else:
                 inp = [prev if j == -1 else saved[j if j >= 0 else i + j] for j in f]
             prev = m(inp, train)

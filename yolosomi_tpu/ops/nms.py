@@ -79,7 +79,7 @@ def _nms_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms", "use_pallas"),
+    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms", "use_pallas", "exact"),
 )
 def non_max_suppression(
     prediction: jax.Array,  # (B, N, 5 + nc) decoded rows [xc,yc,w,h,obj,cls...]
@@ -91,6 +91,7 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms: int = 4096,
     use_pallas: bool = False,
+    exact: bool = False,
 ) -> jax.Array:
     """Batched static-shape NMS.
 
@@ -109,9 +110,14 @@ def non_max_suppression(
     k = min(max_nms, n * nc if multi_label else n)
 
     # candidate selection: approx_max_k uses the TPU's partial-sort unit and
-    # is exact on CPU; recall loss only matters beyond ~k candidates above
-    # threshold, where mAP contribution is negligible
+    # is exact on CPU. The eval protocol (val.py) passes exact=True +
+    # max_nms=30000 so candidate selection matches the reference
+    # (general.py:665) exactly; the approximate path is for deployment
+    # inference, where recall loss beyond ~k in-threshold candidates has
+    # negligible mAP contribution.
     def _topk(v, kk):
+        if exact:
+            return jax.lax.top_k(v, kk)
         return jax.lax.approx_max_k(v, kk, recall_target=0.95)
 
     def per_image(bx, cs):

@@ -21,8 +21,11 @@ import jax.numpy as jnp
 
 
 def normalize(images_u8: jax.Array) -> jax.Array:
-    """uint8 NHWC -> float32 [0,1] (the .to(device)/255 step, train.py:249)."""
-    return images_u8.astype(jnp.float32) / 255.0
+    """uint8 NHWC -> float32 [0,1] (the .to(device)/255 step, train.py:249).
+    Float inputs are assumed already normalized and pass through."""
+    if images_u8.dtype == jnp.uint8:
+        return images_u8.astype(jnp.float32) / 255.0
+    return images_u8.astype(jnp.float32)
 
 
 def _rgb_to_hsv(rgb: jax.Array):

@@ -1,0 +1,108 @@
+"""Post-training int8 quantization for the serving path.
+
+The bf16 compute ceiling of the flagship graph is ~807 img/s/chip on v5e
+(PERF.md speed-of-light); the 2,000 img/s target needs the int8 MXU path
+(~394 TOPS). This module drives the int8 mode built into ConvRaw
+(models/layers.py): symmetric per-tensor activation scales calibrated
+from representative batches + per-out-channel weight scales computed
+in-graph, int32 accumulation.
+
+Usage:
+    quant = calibrate(model, variables, [batch1, batch2, ...])
+    variables_q = dict(variables, quant=quant)
+    with quant_mode("int8"):
+        fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        out = fn(variables_q, images)   # traced with int8 convs
+
+The reference's only int8 story is the TFLite export flag
+(export.py:182); this is a first-class serving path instead.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.models.layers import QUANT_MODE
+
+
+@contextlib.contextmanager
+def quant_mode(mode):
+    """Trace-time switch; wrap model.apply (or its jit) in this."""
+    prev = QUANT_MODE[0]
+    QUANT_MODE[0] = mode
+    try:
+        yield
+    finally:
+        QUANT_MODE[0] = prev
+
+
+def _stats_to_scales(tree):
+    """quant_stats collection -> quant collection: each sown ('absmax',)
+    leaf becomes an 'a_scale' entry at the same module path."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k == "absmax":
+                val = v[0] if isinstance(v, (tuple, list)) else v
+                out["a_scale"] = jnp.asarray(val, jnp.float32)
+            else:
+                out[k] = _stats_to_scales(v)
+        return out
+    return tree
+
+
+def calibrate(model, variables, batches: Iterable, train: bool = False):
+    """Run representative batches in calib mode and return the 'quant'
+    collection (per-conv activation absmax scales)."""
+    import inspect
+
+    kw = {}
+    if "train" in inspect.signature(type(model).__call__).parameters:
+        kw["train"] = train
+    stats = None
+    with quant_mode("calib"):
+        fn = jax.jit(
+            lambda v, x: model.apply(v, x, mutable=["quant_stats"], **kw)[1]["quant_stats"]
+        )
+        for batch in batches:
+            x = jnp.asarray(batch)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            s = jax.device_get(fn(variables, x))
+            if stats is None:
+                stats = s
+            else:
+                stats = jax.tree_util.tree_map(lambda a, b: jnp.maximum(a, b), stats, s)
+    assert stats, "calibration produced no statistics (no ConvRaw on the path?)"
+    return _stats_to_scales(stats)
+
+
+def quantized_infer_fn(runner, calib_images, **nms_kw):
+    """Build a jitted int8 end-to-end inference fn for a Runner:
+    calibrates on `calib_images` (uint8 NHWC), then returns
+    fn(images_u8) -> (B, max_det, 6) detections with int8 convs."""
+    variables = runner.variables
+    quant = calibrate(runner.model, variables, [calib_images])
+    variables_q = dict(variables)
+    variables_q["quant"] = quant
+    from yolosomi_tpu.ops.nms import non_max_suppression
+
+    with quant_mode("int8"):
+
+        @jax.jit
+        def fn(images):
+            x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 else images
+            preds = runner.model.apply(variables_q, x, train=False)
+            dec = runner._decode(preds)
+            return non_max_suppression(dec, **nms_kw)
+
+        # trace NOW (inside the mode) so the int8 branch is captured
+        import numpy as np
+
+        fn_lowered = fn.lower(jnp.asarray(np.zeros_like(np.asarray(calib_images))))
+    compiled = fn_lowered.compile()
+    return lambda imgs: compiled(jnp.asarray(imgs))

@@ -120,9 +120,10 @@ def find_config(name: str, kind: str = "models") -> Path:
     p = Path(name)
     if p.exists():
         return p
-    for cand in (CONFIG_ROOT / kind / name, CONFIG_ROOT / kind / f"{name}.yaml"):
-        if cand.exists():
-            return cand
+    for base in (CONFIG_ROOT / kind, CONFIG_ROOT / kind / "hub"):
+        for cand in (base / name, base / f"{name}.yaml"):
+            if cand.exists():
+                return cand
     raise FileNotFoundError(f"config '{name}' not found (searched cwd and {CONFIG_ROOT / kind})")
 
 

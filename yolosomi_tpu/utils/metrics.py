@@ -38,7 +38,9 @@ def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
 def compute_ap(recall: np.ndarray, precision: np.ndarray):
     """AP from raw PR points: sentinel-append, monotone precision envelope,
     101-point interpolation (reference: metrics.py:79-95)."""
-    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
+    # sentinel 1.0 (NOT the newer-upstream recall[-1]+0.01): exact protocol
+    # parity with reference metrics.py:79-81
+    mrec = np.concatenate(([0.0], recall, [1.0]))
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
@@ -93,7 +95,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, plot=False, save_dir=".", names
         plot_mc_curve(px, p, f"{save_dir}/{prefix}P_curve.png", names_d, ylabel="Precision")
         plot_mc_curve(px, r, f"{save_dir}/{prefix}R_curve.png", names_d, ylabel="Recall")
 
-    i = smooth(f1.mean(0), 0.1).argmax()  # F1-argmax operating point
+    # raw F1 argmax (NOT smoothed): exact protocol parity with reference
+    # metrics.py:73 `i = f1.mean(0).argmax()`
+    i = f1.mean(0).argmax()
     return p[:, i], r[:, i], ap, f1[:, i], unique_classes.astype(int)
 
 

@@ -97,3 +97,75 @@ def test_from_files_roundtrip(tmp_path):
     (tmp_path / "dt.json").write_text(json.dumps(dt))
     ev = COCOEvaluator.from_files(tmp_path / "gt.json", tmp_path / "dt.json").accumulate()
     assert ev.summarize(log=lambda *_: None)[0] > 0.9
+
+
+def test_cross_validation_vs_ap_per_class():
+    """Two independent mAP implementations (the YOLOv5-protocol
+    ap_per_class and the COCO-protocol evaluator) must agree closely on
+    the same synthetic detections — cross-validating both against
+    implementation bugs. Protocol differences (1000-pt vs 101-pt grid,
+    greedy-vs-unique matching) keep them from being identical; tolerance
+    is a few points."""
+    from yolosomi_tpu.utils.metrics import ap_per_class, box_iou_np, process_batch
+
+    rng = np.random.default_rng(42)
+    n_img, nc = 30, 3
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    gt_json = {"images": [], "annotations": [], "categories": [{"id": c} for c in range(nc)]}
+    dt_json = []
+    aid = 1
+    for img in range(n_img):
+        gt_json["images"].append({"id": img})
+        n_gt = int(rng.integers(1, 6))
+        gts = []
+        # non-overlapping gts (grid cells): overlapping gts expose the
+        # protocols' different matching orders (global-IoU-greedy vs
+        # score-greedy), which is a real difference, not a bug
+        cells = rng.permutation(16)[:n_gt]
+        for cell in cells:
+            cx, cy = (cell % 4) * 120, (cell // 4) * 120
+            x, y = cx + rng.uniform(0, 20), cy + rng.uniform(0, 20)
+            w, h = rng.uniform(40, 90, 2)
+            c = int(rng.integers(0, nc))
+            gts.append([c, x, y, x + w, y + h])
+            gt_json["annotations"].append(
+                {"id": aid, "image_id": img, "category_id": c,
+                 "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0}
+            )
+            aid += 1
+        gts = np.array(gts, np.float32)
+        # detections: jittered copies of ALL gts + some false positives.
+        # Full recall matters: below max-recall the YOLO protocol's
+        # trapz-with-sentinel adds a linear tail to AP that the COCO
+        # protocol's step sampling does not — a genuine protocol
+        # difference of up to (1 - max_recall)/2, not a bug.
+        dets = []
+        for g in gts:
+            if True:
+                j = rng.normal(0, 2, 4)
+                b = g[1:] + j
+                score = float(rng.uniform(0.5, 1.0))
+                dets.append([b[0], b[1], b[2], b[3], score, g[0]])
+        for _ in range(rng.integers(0, 3)):
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(20, 100, 2)
+            dets.append([x, y, x + w, y + h, float(rng.uniform(0.05, 0.5)), int(rng.integers(0, nc))])
+        dets = np.array(dets, np.float32).reshape(-1, 6)
+        correct = process_batch(dets, gts, iouv)
+        stats.append((correct, dets[:, 4], dets[:, 5], gts[:, 0]))
+        for d in dets:
+            dt_json.append(
+                {"image_id": img, "category_id": int(d[5]),
+                 "bbox": [float(d[0]), float(d[1]), float(d[2] - d[0]), float(d[3] - d[1])],
+                 "score": float(d[4])}
+            )
+
+    stats_np = [np.concatenate(x, 0) for x in zip(*stats)]
+    _, _, ap, _, _ = ap_per_class(*stats_np)
+    yolo_map50, yolo_map = ap[:, 0].mean(), ap.mean()
+
+    ev = COCOEvaluator(gt_json, dt_json).accumulate()
+    s = ev.summarize(log=lambda *_: None)
+    assert abs(s[1] - yolo_map50) < 0.05, (s[1], yolo_map50)
+    assert abs(s[0] - yolo_map) < 0.05, (s[0], yolo_map)

@@ -97,3 +97,20 @@ def test_odconv_stride2():
     j_out = jmod.apply(variables, jnp.asarray(x), False)
     assert j_out.shape == (2, 4, 4, c2)
     np.testing.assert_allclose(t_out.transpose(0, 2, 3, 1), np.asarray(j_out), atol=3e-4, rtol=1e-3)
+
+
+def test_pos_matmul_impl_matches_vmap():
+    """The MXU-friendly kernel-position batched-matmul lowering is
+    numerically identical to the batch-grouped conv lowering."""
+    import jax
+    import jax.numpy as jnp
+    from yolosomi_tpu.models.layers import ODConv2d
+
+    rng = np.random.default_rng(3)
+    for k, s, hw in ((1, 1, 8), (3, 2, 16), (3, 1, 15)):
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, 8)), jnp.float32)
+        m1 = ODConv2d(16, k, s)
+        m2 = ODConv2d(16, k, s, impl="pos_matmul")
+        v = m1.init(jax.random.PRNGKey(k), x)
+        d = np.abs(np.asarray(m1.apply(v, x)) - np.asarray(m2.apply(v, x))).max()
+        assert d < 1e-5, (k, s, hw, d)

@@ -674,6 +674,7 @@ class ODConv2d(nn.Module):
     K: int = 4
     r: float = 1.0 / 16.0
     use_bias: bool = True
+    impl: str = "vmap"  # "vmap" (batch-grouped conv) | "pos_matmul" (k*k batched matmuls)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -716,21 +717,46 @@ class ODConv2d(nn.Module):
 
         p = autopad(self.k, self.p, self.d)
 
-        def one(xi, wi):
-            # no preferred_element_type: output dtype == operand dtype keeps
-            # the vjp's transpose-conv dtypes consistent under bf16 (XLA
-            # still accumulates bf16 convs in fp32 on the MXU)
-            return jax.lax.conv_general_dilated(
-                xi[None],
-                wi,
-                window_strides=(self.s, self.s),
-                padding=((p, p), (p, p)),
-                rhs_dilation=(self.d, self.d),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.g,
-            )[0]
+        if self.impl == "pos_matmul" and self.g == 1 and self.d == 1:
+            # decompose the per-sample conv over the k*k kernel positions:
+            # each position is a strided slice of the (padded) input times a
+            # per-sample (cin, cout) matrix -> k*k batched matmuls, which XLA
+            # maps straight onto the MXU (batch-grouped convs often don't).
+            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            oh = (h + 2 * p - kh) // self.s + 1
+            ow = (w + 2 * p - kw) // self.s + 1
+            out = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    xs_ = jax.lax.slice(
+                        xp,
+                        (0, dy, dx, 0),
+                        (b, dy + (oh - 1) * self.s + 1, dx + (ow - 1) * self.s + 1, c1),
+                        (1, self.s, self.s, 1),
+                    )  # (B, oh, ow, cin)
+                    wpos = wmix[:, dy, dx]  # (B, cin, cout)
+                    term = jnp.einsum(
+                        "bhwc,bco->bhwo", xs_, wpos, preferred_element_type=jnp.float32
+                    )
+                    out = term if out is None else out + term
+            out = out.astype(x.dtype)
+        else:
 
-        out = jax.vmap(one)(x, wmix)
+            def one(xi, wi):
+                # no preferred_element_type: output dtype == operand dtype
+                # keeps the vjp's transpose-conv dtypes consistent under bf16
+                # (XLA still accumulates bf16 convs in fp32 on the MXU)
+                return jax.lax.conv_general_dilated(
+                    xi[None],
+                    wi,
+                    window_strides=(self.s, self.s),
+                    padding=((p, p), (p, p)),
+                    rhs_dilation=(self.d, self.d),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.g,
+                )[0]
+
+            out = jax.vmap(one)(x, wmix)
         if bias is not None:
             bmix = (attn_w.astype(jnp.float32) @ bias).astype(x.dtype)  # (B, C2)
             out = out + bmix[:, None, None, :]

@@ -75,7 +75,8 @@ class COCOEvaluator:
         if not gts and not dts:
             return None
         g_ignore = np.array(
-            [bool(g.get("iscrowd", 0)) or not (area_rng[0] <= g["area"] < area_rng[1]) for g in gts]
+            [bool(g.get("iscrowd", 0)) or not (area_rng[0] <= g["area"] < area_rng[1]) for g in gts],
+            dtype=bool,
         )
         # sort gts: non-ignored first (COCO matching preference)
         order = np.argsort(g_ignore, kind="stable")

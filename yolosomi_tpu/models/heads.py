@@ -718,3 +718,81 @@ class DetectODConvHead(nn.Module):
             y = ODConv2d(self.na * self.no, 1, 1, dtype=self.dtype, name=f"m{i}")(x, train)
             outs.append(y.reshape(b, ny, nx, self.na, self.no))
         return outs
+
+
+class Proto(nn.Module):
+    """YOLOv5-seg mask prototype branch: conv, 2x upsample, conv, project
+    to nm prototype maps (upstream yolov5 models/common.py Proto — the
+    reference pulls Segment in via `from ultralytics.nn.modules import *`,
+    yolo.py:29, and wires it at yolo.py:1620)."""
+
+    npr: int = 256
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.npr, 3, dtype=self.dtype, name="cv1")(x, train)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        x = Conv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Segment(nn.Module):
+    """Instance-segmentation head: Detect with nm mask coefficients per
+    anchor + a Proto branch on the finest level (upstream yolov5-seg
+    Segment; reference registration: yolo.py:1616-1621, args
+    [nc, anchors, nm, npr]).
+
+    Returns (levels, proto): levels are (B, ny, nx, na, 5+nc+nm) raw maps
+    (decode with decode_level — the trailing nm channels pass through as
+    mask coefficients); proto is (B, 2*H0, 2*W0, nm). The reference ships
+    no segmentation loss or dataloader (ComputeLoss is box-only), so this
+    head is inference/fine-tune surface parity; crop+sigmoid mask assembly
+    lives in `assemble_masks`."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...] = ()
+    nm: int = 32
+    npr: int = 256
+    dtype: Dtype = jnp.float32
+
+    @property
+    def nl(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def na(self) -> int:
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5 + self.nm
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        outs = []
+        for i, x in enumerate(xs):
+            b, ny, nx, _ = x.shape
+            y = ConvRaw(self.na * self.no, 1, 1, use_bias=True, dtype=self.dtype, name=f"m{i}")(x)
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs, proto
+
+
+def assemble_masks(proto: jax.Array, coeffs: jax.Array, boxes_xyxy: jax.Array) -> jax.Array:
+    """Combine prototype maps with per-detection coefficients and crop to
+    boxes (upstream yolov5 utils/segment/general.py process_mask).
+
+    proto: (Hm, Wm, nm); coeffs: (N, nm); boxes_xyxy: (N, 4) in mask-map
+    pixel coords. Returns (N, Hm, Wm) sigmoid masks zeroed outside boxes.
+    """
+    hm, wm, nm = proto.shape
+    masks = jax.nn.sigmoid(jnp.einsum("hwc,nc->nhw", proto, coeffs))
+    ys = jnp.arange(hm, dtype=boxes_xyxy.dtype)[None, :, None]
+    xs = jnp.arange(wm, dtype=boxes_xyxy.dtype)[None, None, :]
+    x1, y1, x2, y2 = (boxes_xyxy[:, i][:, None, None] for i in range(4))
+    inside = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    return masks * inside

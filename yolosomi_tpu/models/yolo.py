@@ -28,6 +28,7 @@ from flax.core import unfreeze
 
 from yolosomi_tpu.models import heads as heads_lib
 from yolosomi_tpu.models import layers as L
+from yolosomi_tpu.models import layers_zoo as Z
 from yolosomi_tpu.utils.general import LOGGER, make_divisible
 
 # ---------------------------------------------------------------------------
@@ -149,7 +150,66 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "DetectV8": (heads_lib.DetectV8, "head_v8"),
     "DetectYolov11": (heads_lib.DetectV11, "head_v8"),
     "DetectV11": (heads_lib.DetectV11, "head_v8"),
+    "Segment": (heads_lib.Segment, "head"),
+    # --- Tier-3 zoo (layers_zoo.py) ---
+    "SimConv": (Z.SimConv, "conv"),
+    "CoordConv": (Z.CoordConv, "conv"),
+    "CoordConvd": (Z.CoordConvd, "conv"),
+    "ADown": (Z.ADown, "conv"),
+    "DownSimper": (Z.DownSimper, "conv"),
+    "ASPP": (Z.ASPP, "conv"),
+    "SPPELAN": (Z.SPPELAN, "conv"),
+    "SPPF_improve": (Z.SPPF_improve, "conv"),
+    "BasicRFB": (Z.BasicRFB, "conv"),
+    "BasicRFB_a": (Z.BasicRFB_a, "conv"),
+    "RepVGGBlock": (Z.RepVGGBlock, "conv"),
+    "ACmix": (Z.ACmix, "conv"),
+    "Conv_SWS": (Z.Conv_SWS, "conv"),
+    "SPPCSPCS": (Z.SPPCSPCS, "csp"),
+    "CNeB": (Z.CNeB, "csp"),
+    "CSPCM": (Z.CSPCM, "csp"),
+    "C3CR": (Z.C3CR, "csp"),
+    "C3_CBAM": (Z.C3_CBAM, "csp"),
+    "C3_CBAMS": (Z.C3_CBAMS, "csp"),
+    "C3_CBAM_DWC": (Z.C3_CBAM_DWC, "csp"),
+    "C3_CBAMS_DWC": (Z.C3_CBAMS_DWC, "csp"),
+    "C3CPCA": (Z.C3CPCA, "csp"),
+    "C3GAM": (Z.C3GAM, "csp"),
+    "C3_SCBAM": (Z.C3_SCBAM, "csp"),
+    "C3_BAM": (Z.C3_BAM, "csp"),
+    "C3_CA": (Z.C3_CA, "csp"),
+    "C2fBAM": (Z.C2fBAM, "csp"),
+    "C2f_DWR": (Z.C2f_DWR, "csp"),
+    "VoVGSCSPCBAM": (Z.VoVGSCSPCBAM, "csp"),
+    "Conv2Former": (Z.Conv2Former, "c2former"),
+    "ConvMix": (Z.ConvMix, "preserve_args1"),
+    "SimAMWithSlicing": (Z.SimAMWithSlicing, "preserve_args1"),
+    "SimAMWithFlexibleSlicing": (Z.SimAMWithFlexibleSlicing, "preserve_args1"),
+    "C3CBAM": (Z.C3CBAM, "preserve_args1"),
+    "CPCA": (Z.CPCA, "noarg"),
+    "ContextAggregation": (Z.ContextAggregation, "noarg"),
+    "PSContextAggregation": (Z.PSContextAggregation, "noarg"),
+    "ChannelAttention_HSFPN": (Z.ChannelAttentionHSFPN, "hsfpn"),
+    "CAM": (Z.CAM, "cam"),
+    "Add": (Z.Add, "nary"),
+    "Multiply": (Z.Multiply, "nary"),
+    "CShortcut": (Z.CShortcut, "nary"),
+    "SDI": (Z.SDI, "sdi"),
+    "BiFPNSDI": (Z.BiFPNSDI, "bifpnsdi"),
+    "BiFPNs": (Z.BiFPNs, "bifpns"),
+    "BiFusion": (Z.BiFusion, "bifusion"),
+    "SF": (Z.SF, "sf"),
+    "ScalSeq": (Z.ScalSeq, "scalseq"),
+    "attention_model": (Z.AttentionModel, "attmodel"),
+    "ConvTranspose": (Z.ConvTransposeLayer, "convtranspose"),
+    "nn.ConvTranspose2d": (Z.ConvTranspose2dRaw, "convtranspose"),
+    "DWConvTranspose2d": (Z.DWConvTranspose2d, "convtranspose"),
+    "nn.BatchNorm2d": (Z.BatchNorm2d, "noarg"),
 }
+
+# conv-kind modules whose graph stride is fixed by construction rather than
+# by an explicit stride arg (ADown/DownSimper always halve, common.py:99/4427)
+_FIXED_STRIDE2 = {"ADown", "DownSimper"}
 
 # Some heads consume more input maps than they have detection levels; this
 # maps head name -> fn(n_inputs) -> slice of the input list that holds the
@@ -333,6 +393,8 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
                 s_local = margs[2]
             if cls is L.Focus:
                 s_local = 2
+            if mname in _FIXED_STRIDE2:
+                s_local = 2
             stride *= s_local
         elif kind == "plain":
             c2 = in_ch(f)
@@ -401,6 +463,71 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             c2 = in_ch(f) // (g * g)
             mod = cls(gain=g)
             stride /= g
+        elif kind == "c2former":
+            # Conv2Former's blocks project back to c1: channel-preserving
+            # regardless of the declared c2 (common.py:2428; see layers_zoo)
+            c2 = in_ch(f)
+            mid = args[0]
+            if mid != no:
+                mid = make_divisible(mid * gw, 8)
+            mod = cls(mid, n_rep, dtype=dtype)
+            n_rep = 1
+        elif kind == "preserve_args1":
+            # channel-preserving; first YAML arg is the reference's ignored
+            # c2 slot, the rest are real hyperparameters
+            c2 = in_ch(f)
+            mod = cls(0, *args[1:], dtype=dtype)
+        elif kind == "noarg":
+            c2 = in_ch(f)
+            mod = cls(dtype=dtype)
+        elif kind == "hsfpn":
+            c2 = in_ch(f)
+            mod = cls(*args, dtype=dtype)
+        elif kind == "cam":
+            fusion = args[0] if args else "weight"
+            c1 = in_ch(f)
+            c2 = c1 * 3 if fusion == "concat" else c1
+            mod = cls(fusion=fusion, dtype=dtype)
+        elif kind == "nary":
+            c2 = in_ch(f[0])
+            mod = cls(dtype=dtype)
+        elif kind == "sdi":
+            # output matches the first input's channels and resolution
+            # (reference yolo.py:1514 records [ch[x] for x in f][0])
+            c2 = in_ch(f[0])
+            mod = cls(c2, dtype=dtype)
+        elif kind == "bifpnsdi":
+            c2 = args[0]
+            mod = cls(c2, length=len(f), dtype=dtype)
+            stride = max(in_stride(x) for x in f)
+        elif kind == "bifpns":
+            c2 = args[1] if len(args) > 1 else args[0]
+            mod = cls(c2, length=len(f), dtype=dtype)
+        elif kind == "bifusion":
+            # reference yolo.py:1574: c2 = args[3] (out_channels)
+            c2 = args[3] if len(args) > 3 else args[-1]
+            mod = cls(c2, dtype=dtype)
+            stride = in_stride(f[1])
+        elif kind == "sf":
+            c2 = sum(in_ch(x) for x in f)
+            mod = cls(dtype=dtype)
+            stride = in_stride(f[1])
+        elif kind == "scalseq":
+            c2 = args[0]
+            mod = cls(c2, dtype=dtype)
+            stride = in_stride(f[0])
+        elif kind == "attmodel":
+            c2 = in_ch(f[0])
+            mod = cls(dtype=dtype)
+            stride = in_stride(f[0])
+        elif kind == "convtranspose":
+            c1 = in_ch(f)
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            mod = cls(c2, *args[1:], dtype=dtype)
+            s_up = args[2] if len(args) > 2 else mod.s
+            stride /= s_up
         elif kind in ("head", "head_v8"):
             head_from = tuple(x if x >= 0 else len(chans) + x for x in f)
             lv = _HEAD_LEVEL_SLICE.get(mname, lambda n: slice(0, n))(len(f))
@@ -412,11 +539,19 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
                 mod = cls(nc=nc, strides=head_strides, dtype=dtype)
             else:
                 anchors_px = _resolve_anchors(args[1] if len(args) > 1 else anchors, nl)
+                kwargs = {}
+                if mname == "Segment":
+                    # [nc, anchors, nm, npr]; npr width-scales (ref yolo.py:1620)
+                    if len(args) > 2:
+                        kwargs["nm"] = args[2]
+                    if len(args) > 3:
+                        kwargs["npr"] = make_divisible(args[3] * gw, 8)
                 mod = cls(
                     nc=nc,
                     anchors=tuple(tuple(a) for a in anchors_px.reshape(nl, -1).tolist()),
                     strides=head_strides,
                     dtype=dtype,
+                    **kwargs,
                 )
             c2 = 0
             head_name = mname
@@ -561,9 +696,12 @@ def init_model(model: DetectionModel, meta: ModelMeta, rng=None, imgsz: int = 25
             c += cls_prior
             mi["c3"]["conv"]["bias"] = jnp.asarray(c.reshape(-1))
         elif "conv" in mi:  # coupled Detect 1x1 conv
-            b = np.array(mi["conv"]["bias"]).reshape(meta.na, meta.no)
+            # derive no from the bias itself: Segment carries nm extra mask
+            # channels past nc+5 that keep zero priors
+            no = np.array(mi["conv"]["bias"]).size // meta.na
+            b = np.array(mi["conv"]["bias"]).reshape(meta.na, no)
             b[:, 4] += obj_prior
-            b[:, 5:] += cls_prior
+            b[:, 5 : 5 + nc] += cls_prior
             mi["conv"]["bias"] = jnp.asarray(b.reshape(-1))
     variables["params"] = params
     # plain dicts throughout: mixed FrozenDict/dict trees break tree_map

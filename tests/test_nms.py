@@ -153,3 +153,48 @@ def test_nms_use_pallas_flag_cpu_interpretless():
     a = np.asarray(non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, max_det=10, max_nms=16))
     valid = a[0][a[0][:, 4] > 0]
     assert len(valid) == 2
+
+
+def test_tiled_nms_matches_sequential_greedy():
+    """_nms_single_tiled (the default path) must produce the exact keep set
+    of the sequential greedy while-loop, across tile boundaries, buffer
+    overflow, and empty inputs."""
+    import jax.numpy as jnp
+    from yolosomi_tpu.ops.nms import _nms_single, _nms_single_tiled
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        K = int(rng.choice([32, 300, 1100]))
+        n_real = int(rng.integers(0, K + 1))
+        boxes = np.zeros((K, 4), np.float32)
+        if n_real:
+            c = rng.uniform(0, 300, (n_real, 2))
+            wh = rng.uniform(10, 90, (n_real, 2))
+            boxes[:n_real] = np.concatenate([c - wh / 2, c + wh / 2], 1)
+        scores = np.zeros((K,), np.float32)
+        scores[:n_real] = np.sort(rng.uniform(0.1, 1.0, n_real))[::-1]
+        b, s = jnp.asarray(boxes), jnp.asarray(scores)
+        for md in (5, 100):
+            i1, v1 = _nms_single(b, s, 0.45, md)
+            i2, v2 = _nms_single_tiled(b, s, 0.45, md, tile=256)
+            k1 = np.asarray(i1)[np.asarray(v1)]
+            k2 = np.asarray(i2)[np.asarray(v2)]
+            np.testing.assert_array_equal(k1, k2, err_msg=f"trial {trial} md {md}")
+
+
+def test_tiled_nms_suppression_chain():
+    """A suppression chain (A kills B, dead B must NOT kill C) across the
+    iterative self-suppression — the case where one fixed-point iteration
+    is not enough."""
+    import jax.numpy as jnp
+    from yolosomi_tpu.ops.nms import _nms_single_tiled
+
+    # A, B, C on a line: IoU(A,B)=IoU(B,C)=0.43 > τ, IoU(A,C)=0.11 < τ
+    # -> greedy keeps {A, C}
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [4, 0, 14, 10], [8, 0, 18, 10]], jnp.float32
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+    idx, valid = _nms_single_tiled(boxes, scores, 0.3, 10, tile=256)
+    kept = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(kept, [0, 2])

@@ -968,16 +968,13 @@ class ACmix(nn.Module):
         f_conv = f_conv.reshape(b, h, w, kc * kc * hd)
 
         def shift_init(key, shape, dtype=jnp.float32):
-            # identity-shift kernel: map i picks kernel position i
-            wgt = np.zeros(shape, np.float32)  # (kc,kc,in/g,cout)
+            # identity-shift init: output map o reads kernel position o%kc^2
+            # (reference reset_parameters one-hot kernels, common.py:7313)
+            wgt = np.zeros(shape, np.float32)  # (kc, kc, cin/g, cout)
             cin_g = shape[2]
             for o in range(shape[3]):
                 i = o % (kc * kc)
-                wgt[i // kc, i % kc, :, o] = 0.0
-            # match reference init: kernel[i] one-hot at position i, repeated
-            for o in range(shape[3]):
-                i = o % (kc * kc)
-                wgt[i // kc, i % kc, min(i, cin_g - 1) if cin_g > 1 else 0, o] = 1.0
+                wgt[i // kc, i % kc, min(i, cin_g - 1), o] = 1.0
             return jnp.asarray(wgt, dtype)
 
         dep = nn.Conv(

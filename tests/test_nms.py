@@ -122,39 +122,6 @@ def test_soft_nms_decays_overlaps():
     assert 0 < out[1] < 0.8  # decayed, not removed
 
 
-def test_pallas_nms_interpret_matches_xla(rng):
-    """Pallas kernel (interpret mode) vs the XLA suppression loop."""
-    import jax
-    from yolosomi_tpu.ops.nms import _nms_single
-    from yolosomi_tpu.ops.pallas.nms_kernel import pallas_nms
-
-    n = 64
-    centers = rng.uniform(20, 200, (n, 2))
-    wh = rng.uniform(5, 40, (n, 2))
-    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
-    scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
-
-    ki_ref, kv_ref = _nms_single(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 16)
-    ki_pal, kv_pal = pallas_nms(
-        jnp.asarray(boxes[None]), jnp.asarray(scores[None]), 0.5, 16, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(kv_pal[0]), np.asarray(kv_ref))
-    np.testing.assert_array_equal(
-        np.asarray(ki_pal[0])[np.asarray(kv_pal[0])], np.asarray(ki_ref)[np.asarray(kv_ref)]
-    )
-
-
-def test_nms_use_pallas_flag_cpu_interpretless():
-    """use_pallas path must at least produce identical results via the
-    shared candidate selection when running the XLA loop (flag off)."""
-    boxes = [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]]
-    obj = [0.9, 0.8, 0.7]
-    cls = [[1.0], [1.0], [1.0]]
-    a = np.asarray(non_max_suppression(_make_pred(boxes, obj, cls), 0.25, 0.45, max_det=10, max_nms=16))
-    valid = a[0][a[0][:, 4] > 0]
-    assert len(valid) == 2
-
-
 def test_tiled_nms_matches_sequential_greedy():
     """_nms_single_tiled (the default path) must produce the exact keep set
     of the sequential greedy while-loop, across tile boundaries, buffer

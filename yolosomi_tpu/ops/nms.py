@@ -8,9 +8,12 @@ that jits and batches:
 2. class-offset trick (+class * 4096) for per-class suppression
    (reference: general.py:683)
 3. top-k candidate selection (max_nms cap, reference: general.py:665)
-4. greedy suppression as a `max_det`-step lax.fori_loop: each step picks the
-   score argmax and zeroes everything with IoU > iou_thres against it —
-   identical keep-set to torchvision's sequential greedy NMS.
+4. tiled exact greedy suppression (_nms_single_tiled): score-sorted
+   512-box tiles, each cross-suppressed against the kept buffer and
+   self-suppressed by a monotone fixed-point iteration — identical
+   keep-set to torchvision's sequential greedy NMS in O(K/tile)
+   sequential steps instead of O(max_det). The sequential while-loop
+   form (_nms_single) is kept as the property-test oracle.
 
 Outputs are padded to (max_det, 6) rows [x1, y1, x2, y2, conf, cls];
 validity = conf > 0.
@@ -185,7 +188,7 @@ def _nms_single_tiled(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms", "use_pallas", "exact"),
+    static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic", "max_det", "max_nms", "exact"),
 )
 def non_max_suppression(
     prediction: jax.Array,  # (B, N, 5 + nc) decoded rows [xc,yc,w,h,obj,cls...]
@@ -196,7 +199,6 @@ def non_max_suppression(
     agnostic: bool = False,
     max_det: int = 300,
     max_nms: int = 4096,
-    use_pallas: bool = False,
     exact: bool = False,
 ) -> jax.Array:
     """Batched static-shape NMS.
@@ -246,17 +248,12 @@ def non_max_suppression(
 
     cand_boxes, scores, cls_idx, offset_boxes = jax.vmap(per_image)(boxes_xyxy, cls_scores)
 
-    if use_pallas:
-        from yolosomi_tpu.ops.pallas.nms_kernel import pallas_nms
-
-        keep_idx, keep_valid = pallas_nms(offset_boxes, scores, iou_thres, max_det)
-    else:
-        # tiled exact greedy NMS: ~K/512 sequential steps w/ early exit
-        # instead of max_det argmax iterations (30 ms -> ~2 ms per b32
-        # batch, PERF.md round-2)
-        keep_idx, keep_valid = jax.vmap(
-            lambda bx, sc: _nms_single_tiled(bx, sc, iou_thres, max_det)
-        )(offset_boxes, scores)
+    # tiled exact greedy NMS: ~K/512 sequential steps w/ early exit
+    # instead of max_det argmax iterations (30 -> 7.5 ms per b32 batch,
+    # PERF.md round-2; superseded the Pallas kernel, which lost 2.4x)
+    keep_idx, keep_valid = jax.vmap(
+        lambda bx, sc: _nms_single_tiled(bx, sc, iou_thres, max_det)
+    )(offset_boxes, scores)
 
     safe = jnp.maximum(keep_idx, 0)
     out = jnp.concatenate(

@@ -243,3 +243,29 @@ def test_segment_head_graph():
     assert m.shape == (2, 16, 16)
     assert float(m[0, 0, 0]) == 0.0  # outside box 0 zeroed
     assert float(m[0, 5, 5]) > 0.0
+
+
+def test_rtdetr_decoder_graph():
+    """RT-DETR NMS-free query decoder over a small FPN (reference:
+    common.py:7514; inference surface — the reference itself ships no
+    RT-DETR loss/trainer, importing the stack from ultralytics)."""
+    from yolosomi_tpu.models.yolo import build_model, init_model
+
+    cfg = {
+        "nc": 5, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],   # 2 P3
+            [-1, 1, "Conv", [64, 3, 2]],   # 3 P4
+            [-1, 1, "Conv", [64, 3, 2]],   # 4 P5
+        ],
+        "head": [[[2, 3, 4], 1, "RTDETRDecoder", ["nc", 64, 20]]],
+    }
+    model, meta = build_model(cfg, nc=5)
+    variables = init_model(model, meta, imgsz=64)
+    y = model.apply(variables, jnp.zeros((1, 64, 64, 3)), False)
+    assert y.shape == (1, 20, 4 + 5)
+    out = np.asarray(y)
+    assert (out[..., :4] >= 0).all() and (out[..., :4] <= 1).all()  # cxcywh in [0,1]
+    assert (out[..., 4:] >= 0).all() and (out[..., 4:] <= 1).all()  # sigmoid scores

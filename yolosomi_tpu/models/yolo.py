@@ -43,6 +43,18 @@ from yolosomi_tpu.utils.general import LOGGER, make_divisible
 #   fuse  : equal-shape fusion; c2 = ch of first input
 #   addN  : weighted add + conv; c2 arg given
 #   head  : detection head
+class _LazyRTDETR:
+    """Deferred import so models/rtdetr.py only loads when a YAML asks."""
+
+    def __call__(self, **kw):
+        from yolosomi_tpu.models.rtdetr import RTDETRDecoder
+
+        return RTDETRDecoder(**kw)
+
+
+_lazy_rtdetr = _LazyRTDETR()
+
+
 _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "Conv": (L.Conv, "conv"),
     "DWConv": (L.DWConv, "conv"),
@@ -151,6 +163,7 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "DetectYolov11": (heads_lib.DetectV11, "head_v8"),
     "DetectV11": (heads_lib.DetectV11, "head_v8"),
     "Segment": (heads_lib.Segment, "head"),
+    "RTDETRDecoder": (_lazy_rtdetr, "head_rtdetr"),
     # --- Tier-3 zoo (layers_zoo.py) ---
     "SimConv": (Z.SimConv, "conv"),
     "CoordConv": (Z.CoordConv, "conv"),
@@ -528,12 +541,21 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             mod = cls(c2, *args[1:], dtype=dtype)
             s_up = args[2] if len(args) > 2 else mod.s
             stride /= s_up
-        elif kind in ("head", "head_v8"):
+        elif kind in ("head", "head_v8", "head_rtdetr"):
             head_from = tuple(x if x >= 0 else len(chans) + x for x in f)
             lv = _HEAD_LEVEL_SLICE.get(mname, lambda n: slice(0, n))(len(f))
             head_strides = tuple(float(in_stride(x)) for x in f[lv])
             nl = len(f[lv])
-            if kind == "head_v8":
+            if kind == "head_rtdetr":
+                # NMS-free query decoder (reference: common.py:7514; takes
+                # nc + optional [hd, nq] args, no anchors)
+                hkw = {}
+                if len(args) > 1 and isinstance(args[1], int):
+                    hkw["hd"] = make_divisible(args[1] * gw, 8)
+                if len(args) > 2:
+                    hkw["nq"] = args[2]
+                mod = cls(nc=nc, dtype=dtype, **hkw)
+            elif kind == "head_v8":
                 # anchor-free: no anchor args (reference DetectYOLOv8 takes
                 # only nc + channels, yolo.py:725)
                 mod = cls(nc=nc, strides=head_strides, dtype=dtype)
@@ -566,7 +588,7 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         modules.append(mod)
         specs.append(LayerSpec(i, f, n_rep, mname, args, int(c2), stride))
         save.extend(x % i for x in ([f] if isinstance(f, int) else list(f)) if x != -1)
-        if kind in ("head", "head_v8"):
+        if kind in ("head", "head_v8", "head_rtdetr"):
             # the head reads all inputs via absolute indices (head_from),
             # including any written as -1 — they must be saved too
             save.extend(head_from)

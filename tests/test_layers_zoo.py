@@ -269,3 +269,24 @@ def test_rtdetr_decoder_graph():
     out = np.asarray(y)
     assert (out[..., :4] >= 0).all() and (out[..., :4] <= 1).all()  # cxcywh in [0,1]
     assert (out[..., 4:] >= 0).all() and (out[..., 4:] <= 1).all()  # sigmoid scores
+
+
+def test_activation_zoo():
+    """Activation zoo (reference: utils/activations.py): parameter-free
+    fns + learnable FReLU/AconC/MetaAconC."""
+    from yolosomi_tpu.models import activations as A
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    # mish(x) ~ x for large x, ~0 for very negative x
+    m = A.mish(x)
+    assert m.shape == x.shape
+    assert float(A.mish(jnp.asarray(10.0))) == pytest.approx(10.0, abs=1e-3)
+    assert abs(float(A.mish(jnp.asarray(-10.0)))) < 1e-3
+    assert float(A.hardswish(jnp.asarray(3.0))) == pytest.approx(3.0)
+    assert float(A.hardswish(jnp.asarray(-3.0))) == pytest.approx(0.0)
+    for mod in (A.FReLU(), A.AconC(), A.MetaAconC()):
+        y = _run(mod, x)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    # FReLU lower-bounds by x where the conv branch is smaller
+    y = _run(A.FReLU(), x)
+    assert bool((y >= x - 1e-6).all())

@@ -81,3 +81,30 @@ def test_wbf_cli(tmp_path):
     confs = sorted(float(r.split()[5]) for r in rows)
     assert confs[0] == pytest.approx(0.35, abs=1e-3)  # lone box halved (1/2 models)
     assert confs[1] > 0.8
+
+
+def test_downloads_local_paths(tmp_path):
+    """attempt_download local fast-path + is_url + unzip handling
+    (reference: utils/downloads.py; network paths degrade to clear errors
+    on this zero-egress image)."""
+    import shutil
+
+    import pytest
+
+    from yolosomi_tpu.utils.downloads import attempt_download, download, is_url
+
+    f = tmp_path / "w.msgpack"
+    f.write_bytes(b"x" * 100)
+    assert attempt_download(f) == f
+    assert is_url("https://host/w.pt") and not is_url("w.pt")
+    with pytest.raises(FileNotFoundError):
+        attempt_download(tmp_path / "missing.pt")
+
+    # download() with an already-present zip: skips fetch, unzips
+    src = tmp_path / "payload"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    zp = shutil.make_archive(str(tmp_path / "d" / "pack"), "zip", src)
+    out = download([f"https://host/{Path(zp).name}"], dir=tmp_path / "d")
+    assert (tmp_path / "d" / "a.txt").read_text() == "hello"
+    assert out[0].name == "pack.zip"

@@ -28,6 +28,7 @@ from flax.core import unfreeze
 
 from yolosomi_tpu.models import heads as heads_lib
 from yolosomi_tpu.models import layers as L
+from yolosomi_tpu.models import activations as A
 from yolosomi_tpu.models import layers_zoo as Z
 from yolosomi_tpu.utils.general import LOGGER, make_divisible
 
@@ -164,6 +165,9 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "DetectV11": (heads_lib.DetectV11, "head_v8"),
     "Segment": (heads_lib.Segment, "head"),
     "RTDETRDecoder": (_lazy_rtdetr, "head_rtdetr"),
+    "FReLU": (A.FReLU, "noarg"),
+    "AconC": (A.AconC, "noarg"),
+    "MetaAconC": (A.MetaAconC, "noarg"),
     # --- Tier-3 zoo (layers_zoo.py) ---
     "SimConv": (Z.SimConv, "conv"),
     "CoordConv": (Z.CoordConv, "conv"),

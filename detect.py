@@ -68,11 +68,25 @@ def run(
     data=None,
     augment=False,
     visualize=False,
+    classify=None,
 ):
     if names is None and data:
         from yolosomi_tpu.utils.config import find_config, load_data_cfg
 
         names = load_data_cfg(find_config(data, "data")).get("names")
+    classify_fn = classify
+    if isinstance(classify, str):
+        # "cfg" or "cfg:weights" -> a Classify-head model (models/layers.py
+        # Classify); the reference's resnet50.pt analogue
+        from yolosomi_tpu.engine.runner import Runner
+
+        ccfg, _, cweights = classify.partition(":")
+        crunner = Runner(ccfg, weights=cweights or None, imgsz=224)
+        cvars = crunner.variables
+        cmodel = crunner.model
+        import jax as _jax
+
+        classify_fn = _jax.jit(lambda imgs: cmodel.apply(cvars, imgs, False))
     save_img = not nosave
     # validate the source BEFORE the (slow) model build/compile
     src = Path(source)
@@ -126,6 +140,11 @@ def run(
         det = det[det[:, 4] > 0]
         if len(det):
             det[:, :4] = np.asarray(scale_coords(img.shape[:2], det[:, :4], im0.shape[:2]))
+        if classify is not None and len(det):
+            # second-stage classifier filter (reference detect.py:93-95)
+            from yolosomi_tpu.utils.classifier import apply_classifier
+
+            det = apply_classifier(det, classify_fn, im0)
         p = Path(path)
         txt_path = str(save_dir / "labels" / p.stem)
         s = f"{p.name}: {img.shape[1]}x{img.shape[0]} "
@@ -195,6 +214,8 @@ def parse_opt(argv=None):
     parser.add_argument("--hide-labels", action="store_true")
     parser.add_argument("--hide-conf", action="store_true")
     parser.add_argument("--data", type=str, default=None, help="data yaml for class names")
+    parser.add_argument("--classify", type=str, default=None,
+                        help="second-stage classifier checkpoint (cfg:weights); reference detect.py:93")
     parser.add_argument("--augment", action="store_true", help="TTA inference")
     parser.add_argument("--visualize", action="store_true", help="save feature-map grids")
     return parser.parse_args(argv)

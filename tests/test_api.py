@@ -72,3 +72,26 @@ def test_autoshape_numpy_input(runner):
         if len(df):
             assert (df["xmax"] <= im.shape[1] + 1).all()
             assert (df["ymax"] <= im.shape[0] + 1).all()
+
+
+def test_apply_classifier_filters_mismatches():
+    """Second-stage classifier keeps only class-agreeing detections
+    (reference: utils/general.py:769 apply_classifier)."""
+    import numpy as np
+    from yolosomi_tpu.utils.classifier import apply_classifier
+
+    im0 = np.random.default_rng(0).integers(0, 255, (100, 120, 3), np.uint8)
+    dets = np.array(
+        [[10, 10, 40, 40, 0.9, 0], [50, 50, 90, 90, 0.8, 1], [20, 60, 60, 95, 0.7, 2]],
+        np.float32,
+    )
+
+    def classify_fn(batch):
+        # mock: always predicts class 1
+        n = batch.shape[0]
+        out = np.zeros((n, 3), np.float32)
+        out[:, 1] = 1.0
+        return out
+
+    kept = apply_classifier(dets, classify_fn, im0)
+    assert len(kept) == 1 and kept[0, 5] == 1

@@ -26,9 +26,8 @@ BASELINE_IMG_S = 2000.0
 
 
 def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
-    from yolosomi_tpu.models.heads import decode
     from yolosomi_tpu.models.yolo import build_model
-    from yolosomi_tpu.ops.nms import non_max_suppression
+    from yolosomi_tpu.ops.nms import fused_postprocess
     from yolosomi_tpu.utils.config import find_config, load_model_cfg
 
     cfg = load_model_cfg(find_config("yolo-somi"))
@@ -40,8 +39,10 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
     @jax.jit
     def infer_sum(variables, images):
         preds = model.apply(variables, images, train=False)
-        dec = decode(preds, meta.anchors_px, meta.strides)
-        out = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        # fused serving postprocess: score -> top-k -> decode-k -> tiled NMS
+        out = fused_postprocess(
+            preds, meta.anchors_px, tuple(meta.strides), conf_thres=0.25, iou_thres=0.45, max_det=300
+        )
         return jnp.sum(out)  # scalar fetch forces completion
 
     def timed(fn, args, b, label):
@@ -87,8 +88,9 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
             @jax.jit
             def infer_sum_q(variables, images):
                 preds = model.apply(variables, images, train=False)
-                dec = decode(preds, meta.anchors_px, meta.strides)
-                out = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45, max_det=300)
+                out = fused_postprocess(
+                    preds, meta.anchors_px, tuple(meta.strides), conf_thres=0.25, iou_thres=0.45, max_det=300
+                )
                 return jnp.sum(out)
 
             compiled = infer_sum_q.lower(vq, images).compile()

@@ -165,3 +165,33 @@ def test_tiled_nms_suppression_chain():
     idx, valid = _nms_single_tiled(boxes, scores, 0.3, 10, tile=256)
     kept = np.asarray(idx)[np.asarray(valid)]
     np.testing.assert_array_equal(kept, [0, 2])
+
+
+def test_fused_postprocess_matches_unfused():
+    """fused_postprocess (serving path) must produce the same detections
+    as decode + non_max_suppression for single-label settings."""
+    import jax
+    import jax.numpy as jnp
+    from yolosomi_tpu.models.heads import decode
+    from yolosomi_tpu.ops.nms import fused_postprocess, non_max_suppression
+
+    rng = np.random.default_rng(3)
+    nc, na = 4, 3
+    strides = (8.0, 16.0)
+    anchors = np.array([[[10, 13], [16, 30], [33, 23]],
+                        [[30, 61], [62, 45], [59, 119]]], np.float32)
+    preds = [
+        jnp.asarray(rng.normal(0, 2, (2, 8, 8, na, 5 + nc)), jnp.float32),
+        jnp.asarray(rng.normal(0, 2, (2, 4, 4, na, 5 + nc)), jnp.float32),
+    ]
+    dec = decode(preds, anchors, strides)
+    ref = np.asarray(non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
+                                         max_det=50, max_nms=64, exact=True))
+    got = np.asarray(fused_postprocess(preds, anchors, strides, conf_thres=0.25,
+                                       iou_thres=0.45, max_det=50, max_nms=64))
+    # unfused outputs xyxy too; rows are conf-sorted in both
+    for b in range(2):
+        rv = ref[b][ref[b][:, 4] > 0]
+        gv = got[b][got[b][:, 4] > 0]
+        assert len(rv) == len(gv), (b, len(rv), len(gv))
+        np.testing.assert_allclose(gv, rv, atol=1e-4, rtol=1e-5)

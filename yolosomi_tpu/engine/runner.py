@@ -114,6 +114,22 @@ class Runner:
                         return self._decode(preds)
 
                     dec = forward_augment(apply_decode, images, self.meta.nl, gs=self.stride)
+                elif (
+                    not multi_label
+                    and not exact
+                    and self.meta.head_type in ("Detect", "DecoupledDetect", "DetectODConv",
+                                                 "DecoupledDetect1", "Decoupled_Detect")
+                ):
+                    # serving fast path: fused score->top-k->decode-k->NMS
+                    # (ops/nms.py fused_postprocess; keep-set parity tested)
+                    from yolosomi_tpu.ops.nms import fused_postprocess
+
+                    preds = self.model.apply(variables, images, train=False)
+                    return fused_postprocess(
+                        preds, self.meta.anchors_px, tuple(self.meta.strides),
+                        conf_thres=conf_thres, iou_thres=iou_thres, classes=classes,
+                        agnostic=agnostic, max_det=max_det, max_nms=max_nms,
+                    )
                 else:
                     preds = self.model.apply(variables, images, train=False)
                     dec = self._decode(preds)

@@ -287,3 +287,84 @@ def soft_nms_scores(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5, max
     final = jnp.zeros_like(scores)
     _, final = jax.lax.fori_loop(0, min(max_det, K), body, (scores, final))
     return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "agnostic", "max_det", "max_nms", "strides"),
+)
+def fused_postprocess(
+    preds,  # list of raw level maps (B, ny, nx, na, 5+nc)
+    anchors_px,  # (nl, na, 2) pixel anchors
+    strides: tuple,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+) -> jax.Array:
+    """Serving-path decode+NMS fusion: score the full grid, top-k, then
+    decode boxes ONLY for the k candidates (single-label semantics, the
+    detect.py default). Skips the full-grid box math and the (B, N, no)
+    f32 decode buffer (~48 MB at b32/640) that `decode` +
+    `non_max_suppression` materialize; keep-set is identical to that
+    path (tests/test_nms.py parity test). The eval protocol (val.py,
+    multi_label + exact top-k) stays on the unfused path.
+    """
+    b = preds[0].shape[0]
+    anchors_px = jnp.asarray(anchors_px, jnp.float32)
+
+    conf_parts, cls_parts, twh_parts = [], [], []
+    mesh_parts, anc_parts, stride_parts = [], [], []
+    for i, p in enumerate(preds):
+        _, ny, nx, na, no = p.shape
+        y = jax.nn.sigmoid(p[..., 4:].astype(jnp.float32))  # obj + cls only
+        conf = y[..., 0:1] * y[..., 1:]
+        best = jnp.max(conf, axis=-1).reshape(b, -1)
+        bestc = jnp.argmax(conf, axis=-1).reshape(b, -1).astype(jnp.float32)
+        conf_parts.append(best)
+        cls_parts.append(bestc)
+        twh_parts.append(p[..., :4].reshape(b, -1, 4))
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+        mesh = jnp.stack([gx, gy], -1)[:, :, None, :].repeat(na, axis=2).reshape(-1, 2)
+        mesh_parts.append(mesh)
+        anc_parts.append(jnp.broadcast_to(anchors_px[i][None], (ny * nx, na, 2)).reshape(-1, 2))
+        stride_parts.append(jnp.full((ny * nx * na,), float(strides[i]), jnp.float32))
+
+    scores = jnp.concatenate(conf_parts, axis=1)  # (B, N)
+    clss = jnp.concatenate(cls_parts, axis=1)
+    traw = jnp.concatenate(twh_parts, axis=1)  # (B, N, 4) raw box channels
+    mesh = jnp.concatenate(mesh_parts, axis=0)  # (N, 2) constants
+    anc = jnp.concatenate(anc_parts, axis=0)
+    strd = jnp.concatenate(stride_parts, axis=0)
+
+    if classes is not None:
+        allowed = jnp.asarray(classes)
+        scores = jnp.where(allowed[clss.astype(jnp.int32)], scores, 0.0)
+    scores = jnp.where(scores > conf_thres, scores, 0.0)
+    k = min(max_nms, scores.shape[1])
+    top_scores, idx = jax.lax.top_k(scores, k)  # sorted desc
+
+    t = jnp.take_along_axis(traw, idx[..., None], axis=1).astype(jnp.float32)
+    y = jax.nn.sigmoid(t)
+    xy = (y[..., :2] * 2.0 - 0.5 + mesh[idx]) * strd[idx][..., None]
+    wh = jnp.square(y[..., 2:4] * 2.0) * anc[idx]
+    boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)  # xyxy
+    cls_k = jnp.take_along_axis(clss, idx, axis=1)
+    offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
+    keep_idx, keep_valid = jax.vmap(
+        lambda bx, sc: _nms_single_tiled(bx, sc, iou_thres, max_det)
+    )(boxes + offset[..., None], top_scores)
+
+    safe = jnp.maximum(keep_idx, 0)
+    out = jnp.concatenate(
+        [
+            jnp.take_along_axis(boxes, safe[..., None], axis=1),
+            jnp.take_along_axis(top_scores, safe, axis=1)[..., None],
+            jnp.take_along_axis(cls_k, safe, axis=1)[..., None],
+        ],
+        axis=-1,
+    )
+    return jnp.where(keep_valid[..., None], out, 0.0)

@@ -183,3 +183,53 @@ def test_pad_targets_shapes():
     assert out.shape == (2, 4, 5)
     assert out[0, 0, 0] == 1 and out[0, 1, 0] == -1
     assert (out[1, :, 0] == -1).all()
+
+
+def test_loss_grads_finite_on_degenerate_targets():
+    """The backward must stay finite for every malformed-target shape the
+    static lattice can see: cls>=0 rows with zero w/h (the reference's
+    dynamic ratio filter simply drops them, loss.py:229 — our lattice
+    keeps the lanes, so validity must gate them), exact-zero height on an
+    otherwise valid label, and cls=-1 padding."""
+    import jax
+
+    from yolosomi_tpu.losses import ComputeLoss
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.utils.config import load_hyp
+
+    hyp = load_hyp(None)
+    cfg = {
+        "nc": 5, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg, nc=5)
+    variables = init_model(model, meta, imgsz=64)
+    loss_fn = ComputeLoss(meta, hyp)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    preds = [jax.lax.stop_gradient(p) for p in model.apply(variables, images, False)]
+
+    base = np.zeros((2, 8, 5), np.float32)
+    base[:, :, 0] = -1
+    base[:, :2, 0] = rng.integers(0, 5, (2, 2))
+    base[:, :2, 1:] = rng.uniform(0.3, 0.6, (2, 2, 4))
+
+    cases = {"clean": base.copy()}
+    t = base.copy(); t[:, 2:, 0] = 0  # zero rows with cls=0 (contract breach)
+    cases["zero-wh rows cls=0"] = t
+    t = base.copy(); t[0, 1, 3] = 0.0
+    cases["valid label w=0"] = t
+    t = base.copy(); t[0, 1, 4] = 0.0
+    cases["valid label h=0"] = t
+
+    for name, tgt in cases.items():
+        g = jax.grad(lambda ps: loss_fn(ps, jnp.asarray(tgt))[0])(preds)
+        ok = all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(g))
+        assert ok, f"non-finite grads for case: {name}"

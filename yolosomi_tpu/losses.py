@@ -102,7 +102,11 @@ def build_targets_level(
     (reference: loss.py:210-262)."""
     M = targets.shape[0]
     na = anchors.shape[0]
-    valid = targets[:, 0] >= 0
+    # zero-size rows are invalid regardless of cls: the reference's dynamic
+    # ratio filter drops them entirely (loss.py:229 j = r.max(2) < anchor_t
+    # on a filtered tensor); our static lattice keeps the lanes, so their
+    # geometry must be benign or arctan(0/0) NaNs the whole backward
+    valid = (targets[:, 0] >= 0) & (targets[:, 3] > 0) & (targets[:, 4] > 0)
 
     gxy = targets[:, 1:3] * jnp.array([nx, ny], jnp.float32)  # (M,2)
     gwh = targets[:, 3:5] * jnp.array([nx, ny], jnp.float32)

@@ -195,3 +195,34 @@ def test_fused_postprocess_matches_unfused():
         gv = got[b][got[b][:, 4] > 0]
         assert len(rv) == len(gv), (b, len(rv), len(gv))
         np.testing.assert_allclose(gv, rv, atol=1e-4, rtol=1e-5)
+
+
+def test_fused_postprocess_classes_pre_argmax():
+    """--classes must mask BEFORE the per-box argmax: a box whose best
+    class is filtered still surfaces its best allowed class (matching
+    non_max_suppression's masking order)."""
+    import jax.numpy as jnp
+    from yolosomi_tpu.models.heads import decode
+    from yolosomi_tpu.ops.nms import fused_postprocess, non_max_suppression
+
+    na, nc = 1, 3
+    strides = (8.0,)
+    anchors = np.array([[[16, 16]]], np.float32)
+    # one confident box: class 0 strongest (disallowed), class 2 allowed
+    p = np.full((1, 2, 2, na, 5 + nc), -8.0, np.float32)
+    p[0, 1, 1, 0, :4] = [0.0, 0.0, 0.5, 0.5]
+    p[0, 1, 1, 0, 4] = 4.0       # obj
+    p[0, 1, 1, 0, 5] = 4.0       # class 0 (disallowed)
+    p[0, 1, 1, 0, 7] = 2.0       # class 2 (allowed)
+    preds = [jnp.asarray(p)]
+    allowed = jnp.asarray([False, False, True])
+    got = np.asarray(fused_postprocess(preds, anchors, strides, conf_thres=0.25,
+                                       classes=allowed, max_det=10, max_nms=4))
+    ref = np.asarray(non_max_suppression(
+        decode(preds, anchors, strides), conf_thres=0.25, classes=allowed,
+        max_det=10, max_nms=4, exact=True))
+    gv = got[0][got[0][:, 4] > 0]
+    rv = ref[0][ref[0][:, 4] > 0]
+    assert len(gv) == len(rv) == 1
+    assert gv[0, 5] == rv[0, 5] == 2.0
+    np.testing.assert_allclose(gv, rv, atol=1e-4)

@@ -317,10 +317,16 @@ def fused_postprocess(
 
     conf_parts, cls_parts, twh_parts = [], [], []
     mesh_parts, anc_parts, stride_parts = [], [], []
+    allowed = None if classes is None else jnp.asarray(classes)
     for i, p in enumerate(preds):
         _, ny, nx, na, no = p.shape
         y = jax.nn.sigmoid(p[..., 4:].astype(jnp.float32))  # obj + cls only
         conf = y[..., 0:1] * y[..., 1:]
+        if allowed is not None:
+            # mask disallowed classes BEFORE the argmax so a box whose
+            # best class is filtered can still surface its next class —
+            # matching non_max_suppression's pre-argmax masking
+            conf = jnp.where(allowed[None, None, None, None, :], conf, 0.0)
         best = jnp.max(conf, axis=-1).reshape(b, -1)
         bestc = jnp.argmax(conf, axis=-1).reshape(b, -1).astype(jnp.float32)
         conf_parts.append(best)
@@ -340,9 +346,6 @@ def fused_postprocess(
     anc = jnp.concatenate(anc_parts, axis=0)
     strd = jnp.concatenate(stride_parts, axis=0)
 
-    if classes is not None:
-        allowed = jnp.asarray(classes)
-        scores = jnp.where(allowed[clss.astype(jnp.int32)], scores, 0.0)
     scores = jnp.where(scores > conf_thres, scores, 0.0)
     k = min(max_nms, scores.shape[1])
     top_scores, idx = jax.lax.top_k(scores, k)  # sorted desc

@@ -290,3 +290,98 @@ def test_activation_zoo():
     # FReLU lower-bounds by x where the conv branch is smaller
     y = _run(A.FReLU(), x)
     assert bool((y >= x - 1e-6).all())
+
+
+def test_stride_tracking_nonstandard_signatures():
+    """meta.strides must be correct for conv-kind modules whose stride arg
+    is not at position 2 (BasicRFB: pos 1; ACmix: pos 4) or absent
+    (SPPELAN c3 arg, TransformerBlock heads arg)."""
+    from yolosomi_tpu.models.yolo import build_model
+
+    cfg = {
+        "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],        # stride 2
+            [-1, 1, "BasicRFB", [16, 2]],        # stride arg pos 1 -> 4
+            [-1, 1, "ACmix", [16, 7, 4]],        # head=4 is NOT a stride
+            [-1, 1, "SPPELAN", [16, 8]],         # c3=8 is NOT a stride
+            [-1, 1, "Conv", [32, 3, 2]],         # 8
+            [-1, 1, "Conv", [32, 3, 2]],         # 16
+        ],
+        "head": [[[3, 4, 5], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg, nc=2)
+    assert meta.strides == (4.0, 8.0, 16.0), meta.strides
+
+
+def test_headless_classifier_config():
+    """A Classify-tail YAML builds headless (nl=0, nc unscaled) and
+    returns (B, nc) logits — the detect --classify path."""
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.utils.config import find_config, load_model_cfg
+
+    cfg = load_model_cfg(find_config("classifier"))
+    model, meta = build_model(cfg)
+    assert meta.nl == 0 and meta.nc == 2
+    variables = init_model(model, meta, imgsz=64)
+    y = model.apply(variables, jnp.zeros((3, 64, 64, 3)), False)
+    assert y.shape == (3, 2)
+
+
+def test_segment_runner_inference():
+    """Runner.infer_fn must decode a Segment head: boxes flow through NMS
+    with the mask-coefficient tail dropped."""
+    import yaml as _yaml
+
+    from yolosomi_tpu.engine.runner import Runner
+
+    cfg = {
+        "nc": 3, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Segment", ["nc", "anchors", 8, 32]]],
+    }
+    import tempfile, pathlib
+    d = pathlib.Path(tempfile.mkdtemp())
+    (d / "seg.yaml").write_text(_yaml.safe_dump(cfg))
+    r = Runner(str(d / "seg.yaml"), imgsz=64)
+    out = np.asarray(r.infer_fn(conf_thres=0.0001, max_nms=64)(
+        r.variables, jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    assert out.shape == (1, 300, 6)
+    assert np.isfinite(out).all()
+
+
+def test_rtdetr_runner_inference():
+    """Runner.infer_fn must produce NMS-free top-k detections for the
+    RT-DETR head (normalized boxes scaled to pixels)."""
+    import tempfile, pathlib
+
+    import yaml as _yaml
+
+    from yolosomi_tpu.engine.runner import Runner
+
+    cfg = {
+        "nc": 4, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "RTDETRDecoder", ["nc", 32, 12]]],
+    }
+    d = pathlib.Path(tempfile.mkdtemp())
+    (d / "rt.yaml").write_text(_yaml.safe_dump(cfg))
+    r = Runner(str(d / "rt.yaml"), imgsz=64)
+    out = np.asarray(r.infer_fn(conf_thres=0.0001)(
+        r.variables, jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    assert out.shape == (1, 300, 6)
+    valid = out[0][out[0][:, 4] > 0]
+    if len(valid):
+        assert (valid[:, :4] >= 0).all() and (valid[:, :4] <= 64).all()

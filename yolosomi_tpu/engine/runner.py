@@ -84,6 +84,13 @@ class Runner:
             from yolosomi_tpu.models.heads import decode_v8
 
             return decode_v8(preds, self.meta.strides, self.meta.nc)
+        if self.meta.head_type == "Segment":
+            # (levels, proto): detection path decodes the levels; the nm
+            # mask-coefficient tail is dropped here (assemble_masks consumes
+            # it via model.apply directly — heads.py Segment docstring)
+            levels, _proto = preds
+            dec = decode(levels, self.meta.anchors_px, self.meta.strides)
+            return dec[..., : 5 + self.meta.nc]
         return decode(preds, self.meta.anchors_px, self.meta.strides)
 
     def infer_fn(
@@ -106,6 +113,34 @@ class Runner:
                 # divides on GPU, train.py:249)
                 if images.dtype == jnp.uint8:
                     images = images.astype(jnp.float32) / 255.0
+                if self.meta.head_type == "RTDETRDecoder":
+                    # NMS-free query head: (B, nq, 4+nc) sigmoided cxcywh in
+                    # [0,1] + class scores -> top max_det rows, no suppression
+                    out = self.model.apply(variables, images, train=False)
+                    h, w = images.shape[1:3]
+                    cx, cy, bw, bh = (out[..., i] for i in range(4))
+                    boxes = jnp.stack(
+                        [(cx - bw / 2) * w, (cy - bh / 2) * h,
+                         (cx + bw / 2) * w, (cy + bh / 2) * h], axis=-1
+                    )
+                    scores = out[..., 4:]
+                    if classes is not None:
+                        scores = jnp.where(classes[None, None, :], scores, 0.0)
+                    conf = jnp.max(scores, axis=-1)
+                    cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+                    conf = jnp.where(conf > conf_thres, conf, 0.0)
+                    k = min(max_det, conf.shape[1])
+                    top, idx = jax.lax.top_k(conf, k)
+                    rows = jnp.concatenate(
+                        [jnp.take_along_axis(boxes, idx[..., None], axis=1),
+                         top[..., None],
+                         jnp.take_along_axis(cls, idx, axis=1)[..., None]], axis=-1
+                    )
+                    rows = jnp.where(top[..., None] > 0, rows, 0.0)
+                    pad = max_det - k
+                    if pad:
+                        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
+                    return rows
                 if augment:
                     from yolosomi_tpu.ops.tta import forward_augment
 

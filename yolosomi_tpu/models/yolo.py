@@ -96,7 +96,7 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
     "ShuffleAttention": (L.ShuffleAttention, "plain"),
     "NAMAttention": (L.NAMAttention, "plain"),
     "CoorAttention": (L.CoorAttention, "conv"),
-    "Classify": (L.Classify, "conv"),
+    "Classify": (L.Classify, "classify"),
     "C3": (L.C3, "csp"),
     "C2f": (L.C2f, "csp"),
     "C2fCBAM": (L.C2fCBAM, "csp"),
@@ -226,7 +226,23 @@ _REGISTRY: Dict[str, Tuple[Any, str]] = {
 
 # conv-kind modules whose graph stride is fixed by construction rather than
 # by an explicit stride arg (ADown/DownSimper always halve, common.py:99/4427)
-_FIXED_STRIDE2 = {"ADown", "DownSimper"}
+_FIXED_STRIDE2 = {"ADown", "DownSimper", "Focus"}
+
+# conv-kind stride tracking: positional index of the stride arg in the
+# module's signature (after c2). Only names listed here propagate a stride;
+# conv-kind modules NOT listed are stride-1 by signature (ASPP, SPPELAN,
+# TransformerBlock, attention wrappers, ...) — the old heuristic "arg 2 is
+# the stride" silently corrupted meta.strides for modules like ACmix
+# (head count at pos 2) and missed BasicRFB (stride at pos 1).
+_STRIDE_ARG_POS = {
+    "Conv": 2, "DWConv": 2, "GhostConv": 2, "GhostBottleneck": 2,
+    "CrossConv": 2, "MixConv2d": 2, "GSConv": 2, "SimConv": 2,
+    "CoordConv": 2, "CoordConvd": 2, "RepVGGBlock": 2, "SCDown": 2,
+    "ODConv": 2, "ODConv_3rd": 2, "Involution": 2,
+    "BasicRFB": 1, "BasicRFB_a": 1,
+    "ACmix": 4,
+    "Conv_SWS": 5,
+}
 
 # Some heads consume more input maps than they have detection levels; this
 # maps head name -> fn(n_inputs) -> slice of the input list that holds the
@@ -403,13 +419,17 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             if cls is L.DWConv:
                 kwargs["g"] = math.gcd(c1, c2)
             mod = cls(*margs, dtype=dtype, **kwargs)
-            # stride propagation: conv-family arg position 2 is the stride
-            # (Conv/ODConv/GhostBottleneck signatures all put s there)
+            # stride propagation via the per-module stride-arg table
             s_local = 1
-            if kind == "conv" and len(margs) > 2 and isinstance(margs[2], int) and not isinstance(margs[2], bool):
-                s_local = margs[2]
-            if cls is L.Focus:
-                s_local = 2
+            spos = _STRIDE_ARG_POS.get(mname)
+            if (
+                kind == "conv"
+                and spos is not None
+                and len(margs) > spos
+                and isinstance(margs[spos], int)
+                and not isinstance(margs[spos], bool)
+            ):
+                s_local = margs[spos]
             if mname in _FIXED_STRIDE2:
                 s_local = 2
             stride *= s_local
@@ -480,6 +500,11 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
             c2 = in_ch(f) // (g * g)
             mod = cls(gain=g)
             stride /= g
+        elif kind == "classify":
+            # classification tail: args[0] is the class count — never
+            # width-scaled (the conv kind's make_divisible would mangle it)
+            c2 = args[0]
+            mod = cls(*args, dtype=dtype)
         elif kind == "c2former":
             # Conv2Former's blocks project back to c1: channel-preserving
             # regardless of the declared c2 (common.py:2428; see layers_zoo)
@@ -601,6 +626,22 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
         chans.append(int(c2))
         strides.append(stride)
 
+    if not head_from:
+        # headless graph (e.g. a Classify-tail classification config for
+        # detect --classify): no anchors/levels to resolve
+        meta = ModelMeta(head_type=head_name or "",
+            nc=nc,
+            names=[str(i) for i in range(nc)],
+            nl=0,
+            na=0,
+            strides=(),
+            anchors_px=np.zeros((0, 0, 2), np.float32),
+            save=tuple(sorted(set(save))),
+            head_from=(),
+            specs=specs,
+            yaml=cfg,
+        )
+        return modules, meta, head_name
     lv = _HEAD_LEVEL_SLICE.get(head_name, lambda n: slice(0, n))(len(head_from))
     nl = len(head_from[lv])
     head_strides = tuple(specs[j].stride for j in head_from[lv])
@@ -654,7 +695,7 @@ class DetectionModel(nn.Module):
         prev = x
         n = len(self.layers)
         for i, (m, f) in enumerate(zip(self.layers, self.froms)):
-            if i == n - 1:  # head consumes its `from` list
+            if i == n - 1 and self.head_from:  # head consumes its `from` list
                 prev = m([saved[j] for j in self.head_from], train)
                 break
             if isinstance(f, int):

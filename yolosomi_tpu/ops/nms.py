@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from yolosomi_tpu.utils.boxes import xywh2xyxy
+from yolosomi_tpu.utils.iou import box_iou as _iou_matrix
 
 MAX_WH = 4096.0  # class-offset multiplier (reference: general.py:641 `max_wh`)
 
@@ -78,18 +79,6 @@ def _nms_single(
         cond, body, (jnp.zeros((), jnp.int32), scores, keep_idx0, keep_valid0)
     )
     return keep_idx, keep_valid
-
-
-def _iou_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """Pairwise IoU between (M,4) and (N,4) xyxy boxes -> (M,N)."""
-    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
-    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
-    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
-    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
-    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
-    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / (aa[:, None] + ab[None, :] - inter + eps)
 
 
 def _self_suppress(E: jax.Array, alive: jax.Array):

@@ -43,7 +43,14 @@ def apply_classifier(
         if cut.size == 0:
             cut = np.zeros((2, 2, 3), im0.dtype)
         crops.append(cv2.resize(cut[:, :, ::-1], (size, size)).astype(np.float32) / 255.0)
-    logits = np.asarray(classify_fn(jnp.asarray(np.stack(crops))))
+    batch = np.stack(crops)
+    # pad to a power-of-two bucket: a jitted classify_fn then compiles one
+    # program per bucket instead of one per distinct detection count
+    n = len(batch)
+    bucket = 1 << (n - 1).bit_length()
+    if bucket > n:
+        batch = np.concatenate([batch, np.zeros((bucket - n, size, size, 3), np.float32)])
+    logits = np.asarray(classify_fn(jnp.asarray(batch)))[:n]
     cls2 = logits.argmax(1)
     keep = cls2 == dets[:, 5].astype(int)
     return dets[keep]

@@ -212,3 +212,54 @@ def test_device_preprocess_in_train_step():
     assert np.isfinite(float(m1["loss"]))
     state, m2 = step(state, jnp.asarray(x), jnp.asarray(t))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_freeze_zeroes_early_layer_grads():
+    """--freeze N must leave the first N layers' params untouched by a
+    train step (reference train.py --freeze)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolosomi_tpu.engine.optim import make_optimizer
+    from yolosomi_tpu.engine.trainer import create_train_state, make_train_step
+    from yolosomi_tpu.losses import ComputeLoss
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.utils.config import load_hyp
+
+    hyp = load_hyp(None)
+    cfg = {
+        "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg, nc=2)
+    variables = init_model(model, meta, imgsz=64)
+    loss_fn = ComputeLoss(meta, hyp)
+    opt = make_optimizer(hyp, nb=10, epochs=10, batch_size=2)
+    state = create_train_state(dict(variables), opt)
+    step = make_train_step(model, loss_fn, opt, freeze=2)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    t = np.zeros((2, 8, 5), np.float32)
+    t[:, :, 0] = -1
+    t[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, metrics = step(state, images, jnp.asarray(t))
+    after = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in (0, 1):  # frozen
+        for b, a in zip(jax.tree_util.tree_leaves(before[f"layers_{i}"]),
+                        jax.tree_util.tree_leaves(after[f"layers_{i}"])):
+            np.testing.assert_array_equal(b, a)
+    moved = any(
+        not np.array_equal(b, a)
+        for b, a in zip(jax.tree_util.tree_leaves(before["layers_3"]),
+                        jax.tree_util.tree_leaves(after["layers_3"]))
+    )
+    assert moved, "unfrozen layer did not update"

@@ -85,8 +85,12 @@ def train(hyp: dict, opt) -> float:
     train_ds = DetectionDataset(
         data_dict["train"], img_size=imgsz, batch_size=opt.batch_size, augment=True,
         hyp=ds_hyp, rect=opt.rect, stride=int(max(meta.strides)), max_labels=opt.max_labels,
+        cache_images=getattr(opt, "cache", False),
     )
-    train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True)
+    train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True,
+                              workers=getattr(opt, "workers", 8))
+    if getattr(opt, "sync_bn", False):
+        LOGGER.info("--sync-bn: BN statistics are always global-batch under jit (SyncBN by construction)")
     nb = len(train_loader)
 
     # autoanchor (reference: train.py:203-204, autoanchor.py:25)
@@ -177,14 +181,16 @@ def train(hyp: dict, opt) -> float:
         sizes = sorted({max(int(imgsz * f) // gs * gs, gs) for f in (0.67, 0.83, 1.0, 1.17, 1.33)})
         train_steps = {
             s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate,
-                               device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None)
+                               device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
+                               freeze=getattr(opt, "freeze", 0))
             for s in sizes
         }
         LOGGER.info(f"multi-scale sizes: {sizes}")
     else:
         train_steps = {imgsz: make_train_step(
             model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate,
-            device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None)}
+            device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
+            freeze=getattr(opt, "freeze", 0))}
     import random as _random
 
     with mesh:
@@ -250,9 +256,14 @@ def train(hyp: dict, opt) -> float:
         if fi > best_fitness:
             best_fitness = fi
         host_state = jax.device_get(state)
-        save_checkpoint(last, host_state, epoch=epoch, best_fitness=best_fitness)
-        if fi == best_fitness:
-            save_checkpoint(best, host_state, epoch=epoch, best_fitness=best_fitness)
+        if not getattr(opt, "nosave", False) or epoch == final_epoch:
+            save_checkpoint(last, host_state, epoch=epoch, best_fitness=best_fitness)
+            if fi == best_fitness:
+                save_checkpoint(best, host_state, epoch=epoch, best_fitness=best_fitness)
+            sp = getattr(opt, "save_period", -1)
+            if sp > 0 and epoch % sp == 0:
+                save_checkpoint(last.parent / f"epoch{epoch}.ckpt", host_state,
+                                epoch=epoch, best_fitness=best_fitness)
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
@@ -298,6 +309,16 @@ def parse_opt(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-labels", type=int, default=300)
     parser.add_argument("--no-bf16", action="store_true")
+    parser.add_argument("--freeze", type=int, default=0,
+                        help="freeze the first N layers (reference train.py --freeze)")
+    parser.add_argument("--save-period", type=int, default=-1,
+                        help="also save a checkpoint every N epochs")
+    parser.add_argument("--nosave", action="store_true", help="only save the final checkpoint")
+    parser.add_argument("--cache", action="store_true", help="cache images in RAM")
+    parser.add_argument("--workers", type=int, default=8,
+                        help="loader worker threads (reference --workers)")
+    parser.add_argument("--sync-bn", action="store_true",
+                        help="accepted for CLI parity; BN stats are ALWAYS global-batch under jit (SyncBN by construction)")
     return parser.parse_args(argv)
 
 

@@ -51,6 +51,7 @@ def make_train_step(
     accumulate: int = 1,
     donate: bool = False,
     device_preprocess: Optional[dict] = None,
+    freeze: int = 0,
 ):
     """Build the jitted train step.
 
@@ -94,6 +95,21 @@ def make_train_step(
 
         (loss, (comps, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
 
+        if freeze > 0:
+            # transfer-learning freeze (reference train.py --freeze:
+            # requires_grad=False on model.{0..N-1}): zero the gradients of
+            # the first `freeze` graph layers so the optimizer never moves
+            # them (weight decay is also multiplicative on grads here)
+            frozen = {f"layers_{i}" for i in range(freeze)}
+
+            def _mask_frozen(tree):
+                return {
+                    k: (jax.tree_util.tree_map(jnp.zeros_like, v) if k in frozen else v)
+                    for k, v in tree.items()
+                }
+
+            grads = _mask_frozen(grads)
+
         # GradScaler-equivalent step skipping (reference: torch.cuda.amp
         # scaler.step skips on inf/nan grads, train.py:271-277): a
         # non-finite batch must never reach the parameters. Also guards
@@ -115,6 +131,8 @@ def make_train_step(
             def apply_branch(op):
                 params, opt_state, acc_in, ema = op
                 updates, new_opt = optimizer.update(acc_in, opt_state, params)
+                if freeze > 0:
+                    updates = _mask_frozen(updates)
                 new_params = optax.apply_updates(params, updates)
                 new_ema = ema_update(ema, {"params": new_params, "batch_stats": new_bs})
                 return new_params, new_opt, jax.tree_util.tree_map(jnp.zeros_like, acc_in), new_ema
@@ -133,6 +151,8 @@ def make_train_step(
             def apply_branch(op):
                 params, opt_state, ema = op
                 updates, new_opt = optimizer.update(grads, opt_state, params)
+                if freeze > 0:
+                    updates = _mask_frozen(updates)
                 new_params = optax.apply_updates(params, updates)
                 new_ema = ema_update(ema, {"params": new_params, "batch_stats": new_bs})
                 return new_params, new_opt, new_ema

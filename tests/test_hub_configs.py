@@ -37,6 +37,13 @@ def _tiny(cfg):
 def test_config_builds_and_shapechecks(path: Path):
     cfg = _tiny(load_model_cfg(path))
     model, meta = build_model(cfg)
+    if meta.nl == 0:
+        # headless config (classifier.yaml): (B, nc) logits, no levels
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.eval_shape(lambda r: model.init(r, x, train=False), jax.random.PRNGKey(0))
+        out = jax.eval_shape(lambda v: model.apply(v, x, train=False), variables)
+        assert out.shape[0] == 1 and out.ndim == 2
+        return
     max_stride = int(max(meta.strides))
     imgsz = max(64, 2 * max_stride)
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)

@@ -1,0 +1,795 @@
+"""Reference-oracle parity: run the REFERENCE'S OWN CODE as the golden
+implementation against this framework, on identical randomized inputs.
+
+Unlike test_torch_parity.py (builder-authored torch re-implementations,
+which could share a misreading with our port), every oracle here is
+imported straight from /root/reference with only dependency *stubs*
+installed (absent pip packages: torchvision, ultralytics, timm, monai,
+mmcv, mmengine — stub surface documented inline; each stub is either an
+inert placeholder or a tiny public-formula function such as
+make_anchors/dist2bbox).
+
+Oracles exercised (reference file:line):
+  - ComputeLoss + build_targets incl. Slide/NWD/focal/smoothing branches
+    (utils/loss.py:112-262)
+  - wasserstein / wasserstein_loss / bbox_iou flavors (utils/metrics.py:341-583)
+  - ap_per_class / compute_ap (utils/metrics.py:21-95) and val.py's
+    process_batch (val.py:50-71, AST-extracted since val.py's module
+    imports need a GPU-era dependency chain)
+  - letterbox / random_perspective geometry (utils/augmentations.py:92-319)
+  - kmean_anchors GA under a shared seed (utils/autoanchor.py:73-131)
+  - DecoupledDetect head forward+decode (models/yolo.py:925-1074) through
+    our weight converter
+  - the FULL reference Model graph-compiler + yolov5s forward
+    (models/yolo.py:1164-1664) vs our build_model on the same YAML
+
+NOTE on the Conv stub: models/common.py:9163 rebinds `Conv` to
+ultralytics' Conv for the rest of the module (and thus for the star-import
+into models/yolo.py), so the backbone convs of the oracle model run our
+minimal faithful Conv stub. Everything else (parse_model, Focus, C3,
+SPPF, heads, bias init, stride calibration, loss, metrics, geometry) is
+the reference's own code.
+"""
+
+import ast
+import contextlib
+import io
+import math
+import os
+import random as pyrandom
+import re
+import shutil
+import sys
+import tempfile
+import types
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+if not os.path.isdir(REF_ROOT):
+    pytest.skip("reference checkout not mounted", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from yolosomi_tpu import losses as our_losses  # noqa: E402
+from yolosomi_tpu.data import augment as our_aug  # noqa: E402
+from yolosomi_tpu.models.heads import DecoupledDetect as OurDecoupledDetect  # noqa: E402
+from yolosomi_tpu.models.heads import decode as our_decode  # noqa: E402
+from yolosomi_tpu.models.yolo import build_model, init_model  # noqa: E402
+from yolosomi_tpu.utils import autoanchor as our_autoanchor  # noqa: E402
+from yolosomi_tpu.utils import iou as our_iou  # noqa: E402
+from yolosomi_tpu.utils import metrics as our_metrics  # noqa: E402
+from yolosomi_tpu.utils.config import find_config, load_model_cfg  # noqa: E402
+from yolosomi_tpu.utils.torch_convert import convert_state_dict  # noqa: E402
+
+# --------------------------------------------------------------------------
+# dependency stubs + reference import (module level, once)
+# --------------------------------------------------------------------------
+
+
+def _mod(name):
+    m = sys.modules.get(name)
+    if m is None:
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+    return m
+
+
+class _StubModule(nn.Module):
+    def __init__(self, *a, **k):
+        super().__init__()
+
+    def forward(self, x, *a, **k):
+        return x
+
+
+def _autopad(k, p=None, d=1):
+    if d > 1:
+        k = d * (k - 1) + 1 if isinstance(k, int) else [d * (x - 1) + 1 for x in k]
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+class _UConv(nn.Module):
+    """Minimal faithful ultralytics Conv (conv + BN + SiLU, public formula).
+    Needed because common.py:9163 rebinds `Conv` to this class for the
+    star-import consumed by models/yolo.py."""
+
+    default_act = nn.SiLU()
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act=True):
+        super().__init__()
+        if isinstance(d, bool):
+            # latent reference defect: Focus (common.py:1994) calls the OLD
+            # v5 Conv signature positionally (7th arg = act) but the name
+            # `Conv` is rebound to ultralytics' signature (7th arg = d) at
+            # common.py:9163 — with real ultralytics this crashes. Interpret
+            # a bool here as `act`, the only reading under which Focus works.
+            d, act = 1, d
+        self.conv = nn.Conv2d(c1, c2, k, s, _autopad(k, p, d), groups=g, dilation=d, bias=False)
+        self.bn = nn.BatchNorm2d(c2)
+        self.act = self.default_act if act is True else act if isinstance(act, nn.Module) else nn.Identity()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+def _make_anchors(feats, strides, grid_cell_offset=0.5):
+    # public anchor-free grid-center formula (v8 heads)
+    anchor_points, stride_tensor = [], []
+    dtype, device = feats[0].dtype, feats[0].device
+    for i, stride in enumerate(strides):
+        h, w = feats[i].shape[2], feats[i].shape[3]
+        sx = torch.arange(w, device=device, dtype=dtype) + grid_cell_offset
+        sy = torch.arange(h, device=device, dtype=dtype) + grid_cell_offset
+        sy, sx = torch.meshgrid(sy, sx, indexing="ij")
+        anchor_points.append(torch.stack((sx, sy), -1).view(-1, 2))
+        stride_tensor.append(torch.full((h * w, 1), stride, dtype=dtype, device=device))
+    return torch.cat(anchor_points), torch.cat(stride_tensor)
+
+
+def _dist2bbox(distance, anchor_points, xywh=True, dim=-1):
+    lt, rb = distance.chunk(2, dim)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        return torch.cat(((x1y1 + x2y2) / 2, x2y2 - x1y1), dim)
+    return torch.cat((x1y1, x2y2), dim)
+
+
+def _install_stubs():
+    # torchvision (only .ops.nms is touched by reference code paths we run)
+    tv = _mod("torchvision")
+    if not hasattr(tv, "__version__"):
+        tv.__version__ = "0.15.0"
+    tvt = _mod("torchvision.transforms")
+    tv.transforms = tvt
+    tvo = _mod("torchvision.ops")
+    tv.ops = tvo
+    if not hasattr(tvo, "nms"):
+        tvo.nms = lambda boxes, scores, thr: torch.arange(len(boxes))
+
+    try:
+        import pkg_resources  # noqa: F401
+    except ImportError:
+        pr = _mod("pkg_resources")
+        pr.parse_version = lambda v: tuple(int(x) for x in re.findall(r"\d+", str(v))[:3])
+
+    ul = _mod("ultralytics")
+    uln = _mod("ultralytics.nn")
+    ul.nn = uln
+    ulm = _mod("ultralytics.nn.modules")
+    uln.modules = ulm
+    ulm.__path__ = []  # mark as package for the .conv submodule import
+    ulmu = _mod("ultralytics.nn.modules.utils")
+    ulm.utils = ulmu
+    ulu = _mod("ultralytics.utils")
+    ul.utils = ulu
+    ult = _mod("ultralytics.utils.tal")
+    ulu.tal = ult
+    ult.make_anchors = _make_anchors
+    ult.dist2bbox = _dist2bbox
+    ult.TORCH_1_10 = True
+    for n in ["RepConv", "DeformableTransformerDecoderLayer", "DeformableTransformerDecoder", "MLP"]:
+        if not hasattr(ulm, n):
+            setattr(ulm, n, type(n, (_StubModule,), {}))
+    ulm.__all__ = []
+    ulmu.bias_init_with_prob = lambda p=0.01: float(-math.log((1 - p) / p))
+    ulmu.linear_init_ = lambda m: None
+    ulmc = _mod("ultralytics.nn.modules.conv")
+    ulm.conv = ulmc
+    ulmc.Conv = _UConv
+    ulm.Conv = _UConv
+
+    timm = _mod("timm")
+    tm = _mod("timm.models")
+    timm.models = tm
+    tmeb = _mod("timm.models.efficientnet_blocks")
+    tm.efficientnet_blocks = tmeb
+    tmeb.SqueezeExcite = type("SqueezeExcite", (_StubModule,), {})
+    tml = _mod("timm.models.layers")
+    tm.layers = tml
+    tmln = _mod("timm.models.layers.norm")
+    tml.norm = tmln
+
+    class LayerNorm2d(nn.LayerNorm):
+        def forward(self, x):
+            return nn.functional.layer_norm(
+                x.permute(0, 2, 3, 1), self.normalized_shape, self.weight, self.bias, self.eps
+            ).permute(0, 3, 1, 2)
+
+    tmln.LayerNorm2d = LayerNorm2d
+    tml.LayerNorm2d = LayerNorm2d
+    tml.trunc_normal_ = lambda t, std=0.02, **k: t.data.normal_(0, std)
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tml.DropPath = DropPath
+    tml.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+
+    monai = _mod("monai")
+    mn = _mod("monai.networks")
+    monai.networks = mn
+    mnb = _mod("monai.networks.blocks")
+    mn.blocks = mnb
+
+    class MemoryEfficientSwish(nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    mnb.MemoryEfficientSwish = MemoryEfficientSwish
+
+    mmcv = _mod("mmcv")
+    mmcv_cnn = _mod("mmcv.cnn")
+    mmcv.cnn = mmcv_cnn
+    mmcv_cnn.ConvModule = type("ConvModule", (_StubModule,), {})
+    mmcv_cnn.build_activation_layer = lambda cfg: nn.ReLU()
+    mmcv_cnn.build_norm_layer = lambda cfg, ch: ("bn", nn.BatchNorm2d(ch))
+    mmcv_ops = _mod("mmcv.ops")
+    mmcv.ops = mmcv_ops
+    mmcv_mdc = _mod("mmcv.ops.modulated_deform_conv")
+    mmcv_ops.modulated_deform_conv = mmcv_mdc
+    mmcv_mdc.ModulatedDeformConv2d = type("ModulatedDeformConv2d", (_StubModule,), {})
+
+    mme = _mod("mmengine")
+    mmem = _mod("mmengine.model")
+    mme.model = mmem
+    mmem.caffe2_xavier_init = lambda *a, **k: None
+    mmem.constant_init = lambda *a, **k: None
+
+
+# the reference's utils/plots.py downloads Arial.ttf at import when the
+# config dir lacks it (zero egress here) — point YOLOV5_CONFIG_DIR at a
+# temp dir pre-seeded with any ttf
+_FONT_DIR = tempfile.mkdtemp(prefix="yolocfg_")
+try:
+    import matplotlib
+
+    shutil.copy(
+        os.path.join(matplotlib.get_data_path(), "fonts", "ttf", "DejaVuSans.ttf"),
+        os.path.join(_FONT_DIR, "Arial.ttf"),
+    )
+except Exception:
+    pass
+os.environ["YOLOV5_CONFIG_DIR"] = _FONT_DIR
+
+_install_stubs()
+if REF_ROOT not in sys.path:
+    sys.path.insert(0, REF_ROOT)
+
+try:
+    import utils.loss as ref_loss  # noqa: E402
+    import utils.metrics as ref_metrics  # noqa: E402
+    import utils.augmentations as ref_aug  # noqa: E402
+    import utils.autoanchor as ref_autoanchor  # noqa: E402
+    import models.yolo as ref_yolo  # noqa: E402
+except Exception as e:  # pragma: no cover - environment drift guard
+    pytest.skip(f"reference import failed: {e!r}", allow_module_level=True)
+
+
+# --------------------------------------------------------------------------
+# ComputeLoss oracle
+# --------------------------------------------------------------------------
+
+NC, NA = 4, 3
+SIZES = ((8, 8), (4, 4), (2, 2))
+STRIDES = (8, 16, 32)
+ANCHORS_GRID = np.array(
+    [
+        [[1.25, 1.625], [2.0, 3.75], [4.125, 2.875]],
+        [[1.875, 3.8125], [3.875, 2.8125], [3.6875, 7.4375]],
+        [[3.625, 2.8125], [4.875, 6.1875], [11.65625, 10.1875]],
+    ],
+    np.float32,
+)
+
+BASE_HYP = {
+    "box": 0.05,
+    "obj": 1.0,
+    "cls": 0.5,
+    "cls_pw": 1.0,
+    "obj_pw": 1.0,
+    "fl_gamma": 0.0,
+    "slide_ratio": 0,
+    "nwdloss": 0,
+    "shapeloss": 0,
+    "anchor_t": 4.0,
+    "label_smoothing": 0.0,
+}
+
+
+class _RefDet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.register_buffer("anchors", torch.tensor(ANCHORS_GRID))
+        self.nl, self.na, self.nc = 3, NA, NC
+        self.stride = torch.tensor([float(s) for s in STRIDES])
+
+
+class _RefLossModel(nn.Module):
+    def __init__(self, hyp):
+        super().__init__()
+        self.hyp = hyp
+        self.model = nn.ModuleList([_RefDet()])
+        self._p = nn.Parameter(torch.zeros(1))
+
+
+class _OurMeta:
+    nc, na, nl = NC, NA, 3
+    anchors_grid = ANCHORS_GRID
+
+
+def _loss_inputs(seed=0, bs=2, n_labels=(6, 5)):
+    rng = np.random.default_rng(seed)
+    preds = []
+    for ny, nx in SIZES:
+        preds.append(rng.standard_normal((bs, NA, ny, nx, NC + 5)).astype(np.float32))
+    per_image = []
+    for b in range(bs):
+        n = n_labels[b % len(n_labels)]
+        rows = np.zeros((n, 5), np.float32)
+        rows[:, 0] = rng.integers(0, NC, n)
+        rows[:, 1:3] = rng.uniform(0.15, 0.85, (n, 2))
+        rows[:, 3:5] = rng.uniform(0.08, 0.5, (n, 2))
+        per_image.append(rows)
+    return preds, per_image
+
+
+def _torch_targets(per_image):
+    rows = []
+    for b, labs in enumerate(per_image):
+        if len(labs):
+            t = np.concatenate([np.full((len(labs), 1), b, np.float32), labs], 1)
+            rows.append(t)
+    return torch.from_numpy(np.concatenate(rows, 0) if rows else np.zeros((0, 6), np.float32))
+
+
+def _run_both_losses(hyp_extra, seed=0, n_labels=(6, 5)):
+    preds, per_image = _loss_inputs(seed=seed, n_labels=n_labels)
+    hyp_ref = dict(BASE_HYP, **{k: v for k, v in hyp_extra.items() if k != "nwd_ref_defect"})
+    hyp_ours = dict(BASE_HYP, **hyp_extra)
+
+    ref = ref_loss.ComputeLoss(_RefLossModel(hyp_ref))
+    t_preds = [torch.from_numpy(p) for p in preds]
+    t_total, t_comps = ref(t_preds, _torch_targets(per_image))
+
+    ours = our_losses.ComputeLoss(_OurMeta(), hyp_ours)
+    j_preds = [jnp.asarray(p.transpose(0, 2, 3, 1, 4)) for p in preds]
+    j_targets = jnp.asarray(our_losses.pad_targets([np.asarray(x) for x in per_image], 8))
+    j_total, j_comps = ours(j_preds, j_targets)
+    return (
+        float(t_total),
+        np.asarray(t_comps.squeeze()),
+        float(j_total),
+        np.asarray(j_comps),
+    )
+
+
+@pytest.mark.parametrize(
+    "name,extra",
+    [
+        ("base", {}),
+        ("pos_weight", {"cls_pw": 1.3, "obj_pw": 0.7}),
+        ("smoothing", {"label_smoothing": 0.1}),
+        ("focal", {"fl_gamma": 1.5}),
+        ("slide", {"slide_ratio": 0.5}),
+        ("focal_slide", {"fl_gamma": 1.5, "slide_ratio": 0.5}),
+        ("nwd", {"nwdloss": 1, "nwd_ref_defect": True}),
+        ("nwd_shape", {"nwdloss": 1, "shapeloss": 1, "nwd_ref_defect": True}),
+    ],
+)
+def test_compute_loss_oracle(name, extra):
+    """Total + per-component loss equals the reference's ComputeLoss
+    (utils/loss.py:112-262) on identical preds/targets, per hyp branch."""
+    t_total, t_comps, j_total, j_comps = _run_both_losses(extra)
+    np.testing.assert_allclose(j_comps, t_comps, rtol=1e-3, atol=2e-5, err_msg=name)
+    np.testing.assert_allclose(j_total, t_total, rtol=1e-3, atol=5e-5, err_msg=name)
+
+
+def test_compute_loss_oracle_empty_image():
+    """One empty image in the batch (reference nt==0 level branch)."""
+    t_total, t_comps, j_total, j_comps = _run_both_losses({}, seed=3, n_labels=(6, 0))
+    np.testing.assert_allclose(j_comps, t_comps, rtol=1e-3, atol=2e-5)
+
+
+def test_nwd_defect_flag_changes_result():
+    """Sanity: the corrected (default) NWD interpretation is numerically
+    different from the reference's xywh-as-xyxy defect path."""
+    _, _, j_def, _ = _run_both_losses({"nwdloss": 1, "nwd_ref_defect": True})
+    _, _, j_fix, _ = _run_both_losses({"nwdloss": 1})
+    assert abs(j_def - j_fix) > 1e-4
+
+
+# --------------------------------------------------------------------------
+# IoU / NWD function oracles
+# --------------------------------------------------------------------------
+
+
+def _rand_boxes(rng, n, xyxy=True):
+    xy = rng.uniform(5, 100, (n, 2)).astype(np.float32)
+    wh = rng.uniform(2, 40, (n, 2)).astype(np.float32)
+    if xyxy:
+        return np.concatenate([xy, xy + wh], 1)
+    return np.concatenate([xy + wh / 2, wh], 1)
+
+
+@pytest.mark.parametrize("flavor", ["IoU", "GIoU", "DIoU", "CIoU", "SIoU", "EIoU"])
+def test_bbox_iou_oracle(flavor):
+    """Pairwise IoU flavors vs the reference mega-function
+    (utils/metrics.py:476-583), xyxy mode."""
+    rng = np.random.default_rng(11)
+    a = _rand_boxes(rng, 64)
+    b = a + rng.uniform(-8, 8, a.shape).astype(np.float32)
+    kw = {} if flavor == "IoU" else {flavor: True}
+    ref = ref_metrics.bbox_iou(torch.from_numpy(a.T), torch.from_numpy(b), x1y1x2y2=True, **kw)
+    ours = our_iou.bbox_iou(jnp.asarray(a), jnp.asarray(b), xywh=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref).squeeze(), rtol=2e-5, atol=2e-6, err_msg=flavor
+    )
+
+
+def test_bbox_iou_oracle_xywh_ciou():
+    """CIoU in center format — the exact call ComputeLoss makes
+    (utils/loss.py:161)."""
+    rng = np.random.default_rng(12)
+    a = _rand_boxes(rng, 64, xyxy=False)
+    b = a + rng.uniform(-3, 3, a.shape).astype(np.float32)
+    ref = ref_metrics.bbox_iou(torch.from_numpy(a.T), torch.from_numpy(b), x1y1x2y2=False, CIoU=True)
+    ours = our_iou.bbox_iou(jnp.asarray(a), jnp.asarray(b), xywh=True, CIoU=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref).squeeze(), rtol=2e-5, atol=2e-6)
+
+
+def test_wasserstein_oracle():
+    """NWD similarity fns vs reference (utils/metrics.py:341-395)."""
+    rng = np.random.default_rng(13)
+    a = _rand_boxes(rng, 128)
+    b = a + rng.uniform(-10, 10, a.shape).astype(np.float32)
+    ref_plain = ref_metrics.wasserstein_loss(torch.from_numpy(a), torch.from_numpy(b))
+    ours_plain = our_iou.wasserstein_loss(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(ours_plain), np.asarray(ref_plain).squeeze(-1), rtol=1e-5, atol=1e-6
+    )
+    ref_shape = ref_metrics.wasserstein(torch.from_numpy(a), torch.from_numpy(b))
+    ours_shape = our_iou.wasserstein(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(ours_shape), np.asarray(ref_shape).squeeze(-1), rtol=1e-5, atol=1e-6
+    )
+
+
+# --------------------------------------------------------------------------
+# metrics protocol oracle
+# --------------------------------------------------------------------------
+
+
+def _extract_ref_process_batch():
+    """val.py imports a CUDA-era dependency chain; its process_batch
+    (val.py:50-71) is self-contained, so execute just that function."""
+    src = open(os.path.join(REF_ROOT, "val.py")).read()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "process_batch")
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"torch": torch, "np": np, "box_iou": ref_metrics.box_iou}
+    exec(compile(ast.fix_missing_locations(mod), "<reference val.py>", "exec"), ns)
+    return ns["process_batch"]
+
+
+def _synthetic_eval_set(seed=21, n_labels=40, n_preds=120, nc=5):
+    rng = np.random.default_rng(seed)
+    labels = np.zeros((n_labels, 5), np.float32)
+    labels[:, 0] = rng.integers(0, nc, n_labels)
+    labels[:, 1:] = _rand_boxes(rng, n_labels)
+    dets = np.zeros((n_preds, 6), np.float32)
+    # half the preds jitter real labels, half are noise
+    for i in range(n_preds):
+        if i < n_labels and rng.random() < 0.7:
+            dets[i, :4] = labels[i, 1:] + rng.uniform(-6, 6, 4)
+            dets[i, 5] = labels[i, 0] if rng.random() < 0.8 else rng.integers(0, nc)
+        else:
+            dets[i, :4] = _rand_boxes(rng, 1)[0]
+            dets[i, 5] = rng.integers(0, nc)
+        dets[i, 4] = rng.random()
+    return dets, labels
+
+
+def test_process_batch_oracle():
+    dets, labels = _synthetic_eval_set()
+    iouv = np.linspace(0.5, 0.95, 10).astype(np.float32)
+    ref_pb = _extract_ref_process_batch()
+    ref_correct = ref_pb(
+        torch.from_numpy(dets), torch.from_numpy(labels), torch.from_numpy(iouv)
+    ).numpy()
+    our_correct = our_metrics.process_batch(dets, labels, iouv)
+    np.testing.assert_array_equal(our_correct, ref_correct)
+
+
+def test_ap_per_class_oracle(tmp_path):
+    """Full mAP protocol on a multi-image synthetic eval: tp matrices from
+    each side's process_batch, curves/AP/F1-argmax from each side's
+    ap_per_class (reference utils/metrics.py:21-95)."""
+    iouv = np.linspace(0.5, 0.95, 10).astype(np.float32)
+    ref_pb = _extract_ref_process_batch()
+    tps, confs, pcls, tcls = [], [], [], []
+    for s in range(4):
+        dets, labels = _synthetic_eval_set(seed=100 + s)
+        tp = ref_pb(torch.from_numpy(dets), torch.from_numpy(labels), torch.from_numpy(iouv)).numpy()
+        tps.append(tp)
+        confs.append(dets[:, 4])
+        pcls.append(dets[:, 5])
+        tcls.append(labels[:, 0])
+    tp = np.concatenate(tps)
+    conf = np.concatenate(confs)
+    pred_cls = np.concatenate(pcls)
+    target_cls = np.concatenate(tcls)
+    names = {i: str(i) for i in range(5)}
+
+    rp, rr, rap, rf1, rcls = ref_metrics.ap_per_class(
+        tp, conf, pred_cls, target_cls, plot=False, save_dir=str(tmp_path), names=names
+    )
+    op, orr, oap, of1, ocls = our_metrics.ap_per_class(
+        tp, conf, pred_cls, target_cls, plot=False, save_dir=str(tmp_path), names=names
+    )
+    np.testing.assert_array_equal(ocls, rcls)
+    np.testing.assert_allclose(oap, rap, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(op, rp, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(orr, rr, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(of1, rf1, rtol=1e-7, atol=1e-10)
+
+
+def test_compute_ap_oracle():
+    rng = np.random.default_rng(31)
+    recall = np.sort(rng.uniform(0, 1, 50))
+    precision = np.clip(1 - recall + rng.normal(0, 0.1, 50), 0, 1)
+    r_ap, r_mpre, r_mrec = ref_metrics.compute_ap(recall, precision)
+    o_ap, o_mpre, o_mrec = our_metrics.compute_ap(recall, precision)
+    np.testing.assert_allclose(o_ap, r_ap, rtol=1e-10)
+    np.testing.assert_allclose(o_mpre, r_mpre)
+    np.testing.assert_allclose(o_mrec, r_mrec)
+
+
+# --------------------------------------------------------------------------
+# geometry oracles
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,new_shape,kw",
+    [
+        ((480, 640), (640, 640), {}),
+        ((771, 333), (640, 640), {}),
+        ((100, 1000), (640, 640), {"auto": False}),
+        ((480, 640), (320, 416), {"auto": False}),
+        ((480, 640), (640, 640), {"scaleFill": True}),
+        ((200, 300), (640, 640), {"scaleup": False}),
+        ((480, 640), (640, 640), {"stride": 64}),
+    ],
+)
+def test_letterbox_oracle(shape, new_shape, kw):
+    """Byte-exact letterbox parity (reference: augmentations.py:92-124)."""
+    rng = np.random.default_rng(41)
+    im = rng.integers(0, 255, (*shape, 3), dtype=np.uint8)
+    r_im, r_ratio, r_pad = ref_aug.letterbox(im.copy(), new_shape, **kw)
+    our_kw = {("scale_fill" if k == "scaleFill" else k): v for k, v in kw.items()}
+    o_im, o_ratio, o_pad = our_aug.letterbox(im.copy(), new_shape, **our_kw)
+    assert o_im.shape == r_im.shape
+    np.testing.assert_array_equal(o_im, r_im)
+    np.testing.assert_allclose(o_ratio, r_ratio)
+    np.testing.assert_allclose(o_pad, r_pad)
+
+
+@pytest.mark.parametrize(
+    "seed,kw",
+    [
+        (1, {}),
+        (2, {"degrees": 8, "translate": 0.2, "scale": 0.4, "shear": 6}),
+        (3, {"perspective": 0.0005}),
+        (4, {"border": (-32, -32)}),
+    ],
+)
+def test_random_perspective_oracle(seed, kw):
+    """Seeded draw-for-draw parity of the affine/perspective warp + label
+    filter (reference: augmentations.py:125-212; both implementations draw
+    from `random.uniform` in the same order)."""
+    rng = np.random.default_rng(50 + seed)
+    im = rng.integers(0, 255, (128, 160, 3), dtype=np.uint8)
+    n = 12
+    targets = np.zeros((n, 5), np.float32)
+    targets[:, 0] = rng.integers(0, 4, n)
+    xy = rng.uniform(5, 100, (n, 2))
+    wh = rng.uniform(4, 40, (n, 2))
+    targets[:, 1:3] = xy
+    targets[:, 3:5] = xy + wh
+
+    pyrandom.seed(seed)
+    r_im, r_t = ref_aug.random_perspective(im.copy(), targets.copy(), **kw)
+    pyrandom.seed(seed)
+    o_im, o_t = our_aug.random_perspective(im.copy(), targets.copy(), **kw)
+    np.testing.assert_array_equal(o_im, r_im)
+    assert o_t.shape == r_t.shape
+    np.testing.assert_allclose(o_t, r_t, rtol=1e-5, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# autoanchor oracle
+# --------------------------------------------------------------------------
+
+
+class _FakeDataset:
+    def __init__(self, rng, n_imgs=40, n_labels=8):
+        self.shapes = rng.integers(480, 1280, (n_imgs, 2)).astype(np.float64)
+        self.labels = []
+        for _ in range(n_imgs):
+            l = np.zeros((n_labels, 5), np.float32)
+            l[:, 0] = rng.integers(0, 5, n_labels)
+            l[:, 1:3] = rng.uniform(0.2, 0.8, (n_labels, 2))
+            l[:, 3:5] = rng.uniform(0.01, 0.5, (n_labels, 2))
+            self.labels.append(l)
+
+
+def test_kmean_anchors_oracle():
+    """Same seed -> same scipy kmeans + GA trajectory -> same anchors; BPR
+    cross-checked against the value the reference itself prints
+    (utils/autoanchor.py:73-131)."""
+    rng = np.random.default_rng(61)
+    ds = _FakeDataset(rng)
+    img_size, n, thr, gen = 320, 5, 4.0, 40
+
+    shapes = img_size * ds.shapes / ds.shapes.max(1, keepdims=True)
+    wh0 = np.concatenate([l[:, 3:5] * s for s, l in zip(shapes, ds.labels)])
+
+    buf = io.StringIO()
+    np.random.seed(7)
+    pyrandom.seed(7)
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(io.StringIO()):
+        k_ref = ref_autoanchor.kmean_anchors(
+            dataset=ds, n=n, img_size=img_size, thr=thr, gen=gen, verbose=False
+        )
+    np.random.seed(7)
+    pyrandom.seed(7)
+    k_ours = our_autoanchor.kmean_anchors(wh0.copy(), n=n, thr=thr, gen=gen)
+    np.testing.assert_allclose(np.asarray(k_ours), np.asarray(k_ref), rtol=1e-4)
+
+    # BPR the reference printed (over wh0, print_results) vs our metric
+    bprs = re.findall(r"([0-9.]+) best possible recall", buf.getvalue())
+    assert bprs, buf.getvalue()
+    ref_bpr = float(bprs[-1])
+    x, best = our_autoanchor._metric(np.asarray(k_ours), wh0)
+    our_bpr = float((best > 1 / thr).mean())
+    assert abs(our_bpr - ref_bpr) < 5e-4, (our_bpr, ref_bpr)
+
+
+# --------------------------------------------------------------------------
+# head + full-model oracles
+# --------------------------------------------------------------------------
+
+
+def _randomize_sd(model, skip=("anchor", "stride")):
+    g = torch.Generator().manual_seed(0)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if not v.dtype.is_floating_point or any(s in k for s in skip):
+            continue
+        if "running_var" in k:
+            sd[k] = torch.rand(v.shape, generator=g) * 2 + 0.5
+        elif "running_mean" in k:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.2
+        else:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    model.load_state_dict(sd)
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _reorder_ref_rows(z, maps, na, no):
+    """Reference decode flattens (na, ny, nx); ours (ny, nx, na).
+    `maps` are the reference's eval-mode raw maps, already permuted to
+    (bs, na, ny, nx, no) (yolo.py:74/955)."""
+    out, off = [], 0
+    for m in maps:
+        ny, nx = m.shape[2], m.shape[3]
+        n = na * ny * nx
+        blk = z[:, off : off + n].reshape(-1, na, ny, nx, no)
+        out.append(blk.transpose(0, 2, 3, 1, 4).reshape(z.shape[0], -1, no))
+        off += n
+    assert off == z.shape[1]
+    return np.concatenate(out, 1)
+
+
+def test_decoupled_detect_oracle():
+    """The SOMI head: reference DecoupledDetect+Decouple forward and grid
+    decode (models/yolo.py:925-1074) vs ours through the weight converter."""
+    nc = 7
+    anchors_px = [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]]
+    strides = [8, 16]
+    anchors_grid = [
+        [a / s for a in level] for level, s in zip(anchors_px, strides)
+    ]
+    det = ref_yolo.DecoupledDetect(nc=nc, anchors=anchors_grid, ch=(64, 128))
+    det.stride = torch.tensor([float(s) for s in strides])
+    for m in det.modules():  # the reference sets these in initialize_weights
+        if isinstance(m, nn.BatchNorm2d):
+            m.eps, m.momentum = 1e-3, 0.03
+    sd = _randomize_sd(det)
+    det.eval()
+
+    rng = np.random.default_rng(71)
+    feats = [
+        rng.standard_normal((1, 16, 16, 64)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 128)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        r_z, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurDecoupledDetect(nc=nc, anchors=tuple(tuple(a) for a in anchors_px), strides=tuple(strides))
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+
+    # raw map parity (reference maps come back (bs, na, ny, nx, no))
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}")
+
+    # decoded parity
+    apx = np.asarray(anchors_px, np.float32).reshape(2, 3, 2)
+    dec = np.asarray(our_decode(j_maps, apx, strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, 3, nc + 5)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def v5s_oracle_pair():
+    cfg_path = find_config("yolov5s")
+    ref_model = ref_yolo.Model(str(cfg_path), ch=3, nc=80)
+    sd = _randomize_sd(ref_model)
+    ref_model.eval()
+
+    cfg = load_model_cfg(cfg_path)
+    model, meta = build_model(cfg, nc=80)
+    variables = init_model(model, meta, imgsz=64)
+    variables = convert_state_dict(sd, variables)
+    return ref_model, sd, model, meta, variables
+
+
+def test_full_yolov5s_oracle_coverage(v5s_oracle_pair):
+    """Every reference parameter/buffer (minus anchors + BN bookkeeping)
+    lands on one of our leaves — converter coverage vs the REAL graph
+    compiler's state_dict, not a re-implementation's."""
+    ref_model, sd, model, meta, variables = v5s_oracle_pair
+    n_torch = sum(
+        1 for k in sd if "num_batches_tracked" not in k and "anchor" not in k
+    )
+    n_ours = len(jax.tree_util.tree_leaves(variables))
+    assert n_ours == n_torch, (n_ours, n_torch)
+
+
+def test_full_yolov5s_oracle_forward(v5s_oracle_pair):
+    """End-to-end: reference Model (its own parse_model/Focus/C3/SPPF/
+    Detect, yolo.py:1164-1664) vs our build_model, same weights, same
+    input, decoded boxes compared."""
+    ref_model, sd, model, meta, variables = v5s_oracle_pair
+    rng = np.random.default_rng(81)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        r_z, r_maps = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    j_maps = model.apply(variables, jnp.asarray(x), False)
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}")
+
+    dec = np.asarray(our_decode(j_maps, meta.anchors_px, meta.strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, 3, 85)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)

@@ -182,6 +182,12 @@ class ComputeLoss:
         self.slide_ratio = float(hyp.get("slide_ratio", 0))
         self.nwd = float(hyp.get("nwdloss", 0))
         self.shape_nwd = float(hyp.get("shapeloss", 0))
+        # Fidelity switch: the reference feeds CENTER-format (xywh) boxes
+        # into wasserstein/wasserstein_loss, which read them as corner
+        # (xyxy) boxes (utils/loss.py:162-166 vs utils/metrics.py:341-395)
+        # — a defect we correct by default. Opt in to bit-reproduce the
+        # reference's NWD term (hyp key `nwd_ref_defect`).
+        self.nwd_ref_defect = bool(hyp.get("nwd_ref_defect", False))
         self.rep = False  # wired by the trainer via --rep (reference: train.py:399)
         self.rep_alpha = float(hyp.get("alpha", 0.01))
         self.rep_beta = float(hyp.get("beta", 0.1))
@@ -218,7 +224,10 @@ class ComputeLoss:
                 iou = bbox_iou(pbox, lt.tbox, xywh=True, CIoU=True)
                 if self.nwd > 0:
                     nwd_fn = wasserstein if self.shape_nwd > 0 else wasserstein_loss
-                    nwd = nwd_fn(xywh2xyxy(pbox), xywh2xyxy(lt.tbox))
+                    if self.nwd_ref_defect:
+                        nwd = nwd_fn(pbox, lt.tbox)
+                    else:
+                        nwd = nwd_fn(xywh2xyxy(pbox), xywh2xyxy(lt.tbox))
                 else:
                     nwd = jnp.zeros_like(iou)
                 # objectness scatter-max for this image

@@ -67,6 +67,11 @@ def kmean_anchors(wh: np.ndarray, n: int = 9, thr: float = 4.0, gen: int = 1000,
         k *= s
     except Exception:
         k = np.sort(np.random.rand(n * 2)).reshape(n, 2) * wh.max(0)
+    # sort by area BEFORE the GA: the reference runs `k = print_results(k)`
+    # (which sorts) ahead of evolution (autoanchor.py:116-118), so the GA
+    # mutation noise applies to area-ordered rows — required for seeded
+    # trajectory parity with the reference (tests/test_reference_oracle.py)
+    k = k[np.argsort(k.prod(1))]
 
     def fit(k):
         r = wh[:, None] / k[None]

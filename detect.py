@@ -69,6 +69,7 @@ def run(
     augment=False,
     visualize=False,
     classify=None,
+    shard_spatial=1,
 ):
     if names is None and data:
         from yolosomi_tpu.utils.config import find_config, load_data_cfg
@@ -98,7 +99,7 @@ def run(
     # multi-weight -> ensemble (reference: experimental.py:74-87)
     from yolosomi_tpu.engine.runner import attempt_load
 
-    runner = attempt_load(weights, cfg, imgsz=imgsz)
+    runner = attempt_load(weights, cfg, imgsz=imgsz, spatial_shards=shard_spatial)
     names = names or runner.names
     dataset = LoadImages(source, img_size=imgsz, stride=runner.stride, auto=False)
 
@@ -211,6 +212,8 @@ def parse_opt(argv=None):
     parser.add_argument("--name", default="exp")
     parser.add_argument("--exist-ok", action="store_true")
     parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
+    parser.add_argument("--shard-spatial", type=int, default=1,
+                        help="split activations along H over N devices (1280px+ inputs)")
     parser.add_argument("--hide-labels", action="store_true")
     parser.add_argument("--hide-conf", action="store_true")
     parser.add_argument("--data", type=str, default=None, help="data yaml for class names")

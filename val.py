@@ -52,6 +52,7 @@ def run(
     max_det=300,
     alpha_iou=False,
     plots=False,
+    shard_spatial=1,
     runner: Runner = None,
     dataloader: DataLoader = None,
     names=None,
@@ -63,7 +64,7 @@ def run(
     names = names or data_dict.get("names", [str(i) for i in range(nc)])
 
     if runner is None:
-        runner = Runner(cfg, weights, nc=nc, imgsz=imgsz)
+        runner = Runner(cfg, weights, nc=nc, imgsz=imgsz, spatial_shards=shard_spatial)
     imgsz = check_img_size(imgsz, s=runner.stride)
 
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
@@ -251,6 +252,8 @@ def parse_opt(argv=None):
     parser.add_argument("--exist-ok", action="store_true")
     parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
     parser.add_argument("--alpha-iou", action="store_true")
+    parser.add_argument("--shard-spatial", type=int, default=1,
+                        help="split activations along H over N devices (1280px+ inputs)")
     parser.add_argument("--plots", action="store_true")
     return parser.parse_args(argv)
 

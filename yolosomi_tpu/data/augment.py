@@ -242,27 +242,82 @@ def copy_paste(im: np.ndarray, labels: np.ndarray, segments, p: float = 0.5):
     return im, labels, segments
 
 
+def blur(im: np.ndarray, ksize: int) -> np.ndarray:
+    """Box blur with an odd kernel (A.Blur semantics)."""
+    return cv2.blur(im, (ksize, ksize))
+
+
+def median_blur(im: np.ndarray, ksize: int) -> np.ndarray:
+    return cv2.medianBlur(im, ksize)
+
+
+def to_gray(im: np.ndarray) -> np.ndarray:
+    """Luminance replicated to 3 channels (A.ToGray semantics)."""
+    g = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+    return cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+
+
+def clahe(im: np.ndarray, clip_limit: float = 2.0, tile: int = 8) -> np.ndarray:
+    """CLAHE on the LAB luminance channel (A.CLAHE semantics)."""
+    lab = cv2.cvtColor(im, cv2.COLOR_BGR2LAB)
+    lab[..., 0] = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(tile, tile)).apply(lab[..., 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+
+
+def brightness_contrast(im: np.ndarray, alpha: float, beta: float) -> np.ndarray:
+    """img*alpha + beta*255, clipped (A.RandomBrightnessContrast with
+    brightness_by_max=True)."""
+    out = im.astype(np.float32) * alpha + beta * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 class Albumentations:
-    """Optional albumentations wrapper (reference: augmentations.py:17-45);
-    silently inactive when the package is missing."""
+    """Pixel-level augment plane (reference: augmentations.py:17-45).
+
+    Uses the albumentations package when installed; otherwise runs a
+    NATIVE cv2 fallback implementing the same transform list with the
+    reference's probabilities and the library's documented defaults:
+    Blur p=0.001 (odd ksize 3..7), MedianBlur p=0.01 (odd ksize 3..7),
+    ToGray p=0.01, CLAHE p=0.3 (clip 1..4, 8x8 tiles),
+    RandomBrightnessContrast p=0.3 (±0.2 each, brightness_by_max).
+    All transforms are pixel-only, so labels pass through unchanged."""
+
+    _NATIVE_PS = {"blur": 0.001, "median": 0.01, "gray": 0.01, "clahe": 0.3, "bc": 0.3}
 
     def __init__(self):
         self.transform = None
+        self.native = False
         try:
             import albumentations as A
 
             self.transform = A.Compose(
                 [
-                    A.Blur(p=0.01),
+                    A.Blur(p=0.001),
                     A.MedianBlur(p=0.01),
                     A.ToGray(p=0.01),
-                    A.CLAHE(p=0.01),
-                    A.RandomBrightnessContrast(p=0.0),
+                    A.CLAHE(p=0.3),
+                    A.RandomBrightnessContrast(p=0.3),
                 ],
                 bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]),
             )
         except ImportError:
-            pass
+            self.native = True
+
+    def _native(self, im: np.ndarray) -> np.ndarray:
+        ps = self._NATIVE_PS
+        if random.random() < ps["blur"]:
+            im = blur(im, random.choice([3, 5, 7]))
+        if random.random() < ps["median"]:
+            im = median_blur(im, random.choice([3, 5, 7]))
+        if random.random() < ps["gray"]:
+            im = to_gray(im)
+        if random.random() < ps["clahe"]:
+            im = clahe(im, clip_limit=random.uniform(1.0, 4.0))
+        if random.random() < ps["bc"]:
+            im = brightness_contrast(
+                im, alpha=1.0 + random.uniform(-0.2, 0.2), beta=random.uniform(-0.2, 0.2)
+            )
+        return im
 
     def __call__(self, im, labels, p: float = 1.0):
         if self.transform and random.random() < p:
@@ -271,4 +326,6 @@ class Albumentations:
             labels = np.array([[c, *b] for c, b in zip(new["class_labels"], new["bboxes"])], np.float32)
             if len(labels) == 0:
                 labels = np.zeros((0, 5), np.float32)
+        elif self.native and random.random() < p:
+            im = self._native(np.ascontiguousarray(im))
         return im, labels

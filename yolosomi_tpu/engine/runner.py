@@ -33,7 +33,18 @@ class Runner:
         nc: Optional[int] = None,
         dtype=jnp.bfloat16,
         imgsz: int = 640,
+        spatial_shards: int = 1,
     ):
+        # spatial sharding (SURVEY.md §5.7): split activations along H on
+        # the mesh 'model' axis so 1280px+ drone frames fit per chip group;
+        # XLA's SPMD partitioner inserts the conv halo exchanges.
+        self.spatial_mesh = None
+        if spatial_shards > 1:
+            from yolosomi_tpu.parallel.mesh import create_mesh
+
+            n = len(jax.devices())
+            assert n % spatial_shards == 0, f"{spatial_shards} shards over {n} devices"
+            self.spatial_mesh = create_mesh(model=spatial_shards, data=n // spatial_shards)
         cfg_dict = load_model_cfg(find_config(cfg))
         self.model, self.meta = build_model(cfg_dict, nc=nc, dtype=dtype)
         if weights and Path(weights).exists() and nc is None:
@@ -106,7 +117,6 @@ class Runner:
         if key not in self._infer_cache:
             classes = None if class_mask is None else jnp.asarray(np.asarray(class_mask))
 
-            @jax.jit
             def fn(variables, images):
                 # uint8 batches normalize on device: 4x less host->device
                 # transfer than f32 (the reference ships uint8 too and
@@ -180,6 +190,20 @@ class Runner:
                     exact=exact,
                 )
 
+            if self.spatial_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                mesh = self.spatial_mesh
+                fn = jax.jit(
+                    fn,
+                    in_shardings=(
+                        NamedSharding(mesh, P()),  # params replicated
+                        NamedSharding(mesh, P("data", "model", None, None)),  # H-sharded
+                    ),
+                    out_shardings=NamedSharding(mesh, P()),
+                )
+            else:
+                fn = jax.jit(fn)
             self._infer_cache[key] = fn
         return self._infer_cache[key]
 
@@ -259,10 +283,10 @@ class EnsembleRunner:
         return np.asarray(out)
 
 
-def attempt_load(weights, cfg, nc=None, dtype=jnp.bfloat16, imgsz: int = 640):
+def attempt_load(weights, cfg, nc=None, dtype=jnp.bfloat16, imgsz: int = 640, spatial_shards: int = 1):
     """Reference attempt_load (experimental.py:90-122): one weight -> a
     Runner; several -> an EnsembleRunner."""
     if isinstance(weights, (list, tuple)) and len(weights) > 1:
         return EnsembleRunner(cfg, list(weights), nc=nc, dtype=dtype, imgsz=imgsz)
     w = weights[0] if isinstance(weights, (list, tuple)) else weights
-    return Runner(cfg, w, nc=nc, dtype=dtype, imgsz=imgsz)
+    return Runner(cfg, w, nc=nc, dtype=dtype, imgsz=imgsz, spatial_shards=spatial_shards)

@@ -156,3 +156,57 @@ def test_spatial_sharding_output_parity():
     np.testing.assert_allclose(out_sh, out_base, rtol=5e-2, atol=5e-2)
     # the kept detection set (conf>0 rows, box geometry) must agree tightly
     np.testing.assert_allclose(out_sh[..., 4] > 0, out_base[..., 4] > 0)
+
+
+def test_multistep_sharded_matches_single_device(mesh):
+    """Determinism across the mesh (VERDICT r2 #4): N train steps with the
+    batch sharded over 8 devices produce the same params/EMA as the same N
+    steps on one device — the psum-grad semantics match unsharded math."""
+    from yolosomi_tpu.engine.optim import make_optimizer
+    from yolosomi_tpu.engine.trainer import create_train_state, make_train_step
+    from yolosomi_tpu.losses import ComputeLoss, pad_targets
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.utils.config import DEFAULT_HYP, find_config, load_model_cfg
+
+    cfg = load_model_cfg(find_config("yolov5n"))
+    cfg["nc"] = 4
+    model, meta = build_model(cfg, nc=4)
+    variables = init_model(model, meta, imgsz=64)
+    hyp = dict(DEFAULT_HYP)
+    loss_fn = ComputeLoss(meta, hyp)
+
+    rng = np.random.default_rng(3)
+    images = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    labels = [np.array([[i % 4, 0.5, 0.5, 0.3, 0.3]], np.float32) for i in range(8)]
+    targets = np.asarray(pad_targets(labels, 4))
+
+    def run(n_steps, use_mesh):
+        optimizer = make_optimizer(dict(hyp), nb=4, epochs=2, batch_size=8)
+        state = create_train_state(jax.tree_util.tree_map(jnp.array, variables), optimizer)
+        step = make_train_step(model, loss_fn, optimizer, mesh=use_mesh)
+        losses = []
+        if use_mesh is not None:
+            with use_mesh:
+                state = replicate_tree(state, use_mesh)
+                batch = shard_batch({"images": images, "targets": targets}, use_mesh)
+                for _ in range(n_steps):
+                    state, m = step(state, batch["images"], batch["targets"])
+                    losses.append(float(m["loss"]))
+        else:
+            for _ in range(n_steps):
+                state, m = step(state, jnp.asarray(images), jnp.asarray(targets))
+                losses.append(float(m["loss"]))
+        return state, losses
+
+    state_1, losses_1 = run(3, None)
+    state_8, losses_8 = run(3, mesh)
+
+    np.testing.assert_allclose(losses_8, losses_1, rtol=2e-4)
+    p1 = jax.tree_util.tree_leaves(jax.device_get(state_1.params))
+    p8 = jax.tree_util.tree_leaves(jax.device_get(state_8.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5)
+    e1 = jax.tree_util.tree_leaves(jax.device_get(state_1.ema.variables["params"]))
+    e8 = jax.tree_util.tree_leaves(jax.device_get(state_8.ema.variables["params"]))
+    for a, b in zip(e1, e8):
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5)

@@ -41,7 +41,11 @@ def timed_chained(apply_fn, v, x, chain=20, reps=3):
     @functools.partial(jax.jit, static_argnums=())
     def run(v_, x_):
         def body(i, acc):
-            y = apply_fn(v_, x_ * (1.0 + 1e-6 * acc))
+            # perturb in the INPUT dtype: a f32 eps would promote bf16
+            # operands to f32 and benchmark the wrong precision (the
+            # bf16-rounded eps may equal 1.0, but it still depends on the
+            # loop carry, so XLA cannot hoist the apply)
+            y = apply_fn(v_, x_ * (1.0 + 1e-6 * acc).astype(x_.dtype))
             return acc + jnp.sum(y).astype(jnp.float32)
         return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
 
@@ -55,13 +59,22 @@ def timed_chained(apply_fn, v, x, chain=20, reps=3):
 
 def main():
     # the flagship's ODConv sites (yolo-somi.yaml): k3 s2 downsamples
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--impls", default="vmap,im2col")
+    args = ap.parse_args()
+    b = args.batch
+    # the flagship's four ODConv sites (yolo-somi.yaml): k3 s2 downsamples
     cases = [
-        ("P1 320->160 c64->128", (8, 320, 320, 64), 128),
-        ("P4 40->20 c256->256", (8, 40, 40, 256), 256),
+        ("P1 320->160 c64->128", (b, 320, 320, 64), 128),
+        ("P2 160->80 c256->256", (b, 160, 160, 256), 256),
+        ("P3 80->40 c256->256", (b, 80, 80, 256), 256),
+        ("P4 40->20 c256->256", (b, 40, 40, 256), 256),
     ]
     for name, shape, c2 in cases:
         x = jnp.asarray(np.random.rand(*shape).astype(np.float32), jnp.bfloat16)
-        for impl in ("vmap", "pos_matmul"):
+        for impl in args.impls.split(","):
             m = ODConv2d(c2, 3, 2, impl=impl, dtype=jnp.bfloat16)
             v = m.init(jax.random.PRNGKey(0), x)
             ms = timed_chained(lambda v_, x_, m=m: m.apply(v_, x_), v, x)

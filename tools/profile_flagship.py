@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--cfg", default="yolo-somi")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument(
+        "--flops",
+        action="store_true",
+        help="print per-layer GFLOP from XLA cost analysis instead of timing "
+        "(run under JAX_PLATFORMS=cpu; feeds the PERF.md speed-of-light table)",
+    )
     args = ap.parse_args()
 
     from yolosomi_tpu.models.yolo import build_model
@@ -89,6 +95,19 @@ def main():
             ]
         try:
             variables = jax.jit(lambda xi=x_in, m=mod: m.init(rng, xi, False))()
+            if args.flops:
+                cost = (
+                    jax.jit(lambda v, xi, m=mod: m.apply(v, xi, False))
+                    .lower(variables, x_in)
+                    .compile()
+                    .cost_analysis()
+                )
+                cost = cost[0] if isinstance(cost, list) else cost
+                gf = float(cost.get("flops", 0.0)) / 1e9
+                rows.append((gf, i, spec.name, shape_of(spec)))
+                total += gf
+                print(f"layer {i:3d} {spec.name:18s} out{shape_of(spec)!s:22s} {gf:9.2f} GF")
+                continue
             ms = timed_chained(lambda v, xi, m=mod: m.apply(v, xi, False), (variables, x_in))
         except Exception as e:  # pragma: no cover
             print(f"# layer {i} {spec.name} failed: {type(e).__name__}: {str(e)[:120]}")
@@ -97,10 +116,11 @@ def main():
         total += ms
         print(f"layer {i:3d} {spec.name:18s} out{shape_of(spec)!s:22s} {ms:8.3f} ms")
 
-    print(f"\n# total (sum of isolated layers): {total:.1f} ms/batch of {b}")
-    print("# top 12 by time:")
-    for ms, i, name, shp in sorted(rows, reverse=True)[:12]:
-        print(f"#   {ms:8.3f} ms  layer {i:3d} {name:18s} out {shp} ({100*ms/total:.1f}%)")
+    unit = "GF" if args.flops else "ms"
+    print(f"\n# total (sum of isolated layers): {total:.1f} {unit}/batch of {b}")
+    print(f"# top 12 by {unit}:")
+    for v, i, name, shp in sorted(rows, reverse=True)[:12]:
+        print(f"#   {v:9.3f} {unit}  layer {i:3d} {name:18s} out {shp} ({100*v/total:.1f}%)")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ class Runner:
             self.spatial_mesh = create_mesh(model=spatial_shards, data=n // spatial_shards)
         cfg_dict = load_model_cfg(find_config(cfg))
         self.model, self.meta = build_model(cfg_dict, nc=nc, dtype=dtype)
+        self.dtype = dtype
         if weights and Path(weights).exists() and nc is None:
             # infer nc from the checkpoint head shapes (the reference gets
             # it from the pickled module; our weights are bare pytrees)
@@ -122,7 +123,10 @@ class Runner:
                 # transfer than f32 (the reference ships uint8 too and
                 # divides on GPU, train.py:249)
                 if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
+                    # normalize straight into the compute dtype: uint8 is
+                    # exact in bf16 and the first conv casts anyway; skips
+                    # a full-size f32 intermediate (HBM write+read)
+                    images = images.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
                 if self.meta.head_type == "RTDETRDecoder":
                     # NMS-free query head: (B, nq, 4+nc) sigmoided cxcywh in
                     # [0,1] + class scores -> top max_det rows, no suppression
@@ -256,7 +260,10 @@ class EnsembleRunner:
             @jax.jit
             def fn(variables_list, images):
                 if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
+                    # normalize straight into the compute dtype: uint8 is
+                    # exact in bf16 and the first conv casts anyway; skips
+                    # a full-size f32 intermediate (HBM write+read)
+                    images = images.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
                 rows = []
                 for m, v in zip(members, variables_list):
                     if augment:

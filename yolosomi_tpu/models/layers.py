@@ -674,7 +674,14 @@ class ODConv2d(nn.Module):
     K: int = 4
     r: float = 1.0 / 16.0
     use_bias: bool = True
-    impl: str = "vmap"  # "vmap" (batch-grouped conv) | "pos_matmul" (k*k batched matmuls)
+    # Lowering choice, measured round 3 (tools/bench_odconv.py +
+    # tools/bench_forward_ab.py, PERF.md): ISOLATED, im2col (patches + one
+    # batched matmul) wins 23% at the 320^2 site and loses below; IN-GRAPH
+    # the difference vanishes entirely (107.6 vs 108.2 ms/b32 full
+    # forward) — XLA amortizes the batch-grouped conv against neighbors.
+    # vmap stays the default; "auto" selects im2col for >160^2 inputs;
+    # "pos_matmul" is a numerical cross-check (tests/test_odconv_parity.py).
+    impl: str = "vmap"  # vmap | auto | im2col | pos_matmul
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -706,18 +713,49 @@ class ODConv2d(nn.Module):
         attn_c = nn.sigmoid(nn.Dense(cin_g, dtype=self.dtype, name="fc_c")(v))  # (B, Cin/g)
         attn_w = nn.softmax(nn.Dense(self.K, dtype=self.dtype, name="fc_w")(v), axis=-1)  # (B, K)
 
-        # mix over K once, then apply the separable factors
-        wmix = jnp.einsum("bk,khwio->bhwio", attn_w.astype(jnp.float32), weight)
+        # mix over K once, then apply the separable factors. The mix runs
+        # in the module compute dtype: under bf16 serving this halves the
+        # HBM traffic of the (B,kh,kw,cin,cout) mixed-weight tensor (the
+        # conv reads it right back), measured fp32 mix cost ~0.13 ms/site
+        # (PERF.md round-2 ODConv dissection); fp32 training is unchanged.
+        mix_dt = self.dtype
+        wmix = jnp.einsum("bk,khwio->bhwio", attn_w.astype(mix_dt), weight.astype(mix_dt))
         wmix = (
             wmix
-            * attn_s[:, :, :, None, None].astype(jnp.float32)
-            * attn_c[:, None, None, :, None].astype(jnp.float32)
-            * attn_f[:, None, None, None, :].astype(jnp.float32)
+            * attn_s[:, :, :, None, None].astype(mix_dt)
+            * attn_c[:, None, None, :, None].astype(mix_dt)
+            * attn_f[:, None, None, None, :].astype(mix_dt)
         ).astype(x.dtype)
 
         p = autopad(self.k, self.p, self.d)
 
-        if self.impl == "pos_matmul" and self.g == 1 and self.d == 1:
+        impl = self.impl
+        if impl == "auto":
+            impl = "im2col" if (self.g == 1 and self.d == 1 and h * w > 160 * 160) else "vmap"
+
+        if impl == "im2col" and self.g == 1 and self.d == 1:
+            # ONE batched matmul: patch-extract the input once, then
+            # einsum against the per-sample mixed kernel. XLA lowers
+            # batch-grouped convs at ~8x a dense conv's cost (PERF.md);
+            # a (B, H'W', kh*kw*cin) x (B, kh*kw*cin, cout) contraction
+            # rides the MXU at full batched-matmul rate instead, paying
+            # only the patch materialization in HBM.
+            patches = jax.lax.conv_general_dilated_patches(
+                x,
+                filter_shape=(kh, kw),
+                window_strides=(self.s, self.s),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (B, oh, ow, cin*kh*kw) with features ordered (cin, kh, kw)
+            oh, ow = patches.shape[1], patches.shape[2]
+            # match the patch feature order: (kh, kw, cin, cout) -> (cin, kh, kw, cout)
+            wflat = wmix.transpose(0, 3, 1, 2, 4).reshape(b, cin_g * kh * kw, self.c2)
+            out = jnp.einsum(
+                "bpk,bko->bpo",
+                patches.reshape(b, oh * ow, cin_g * kh * kw),
+                wflat,
+            ).reshape(b, oh, ow, self.c2)
+        elif impl == "pos_matmul" and self.g == 1 and self.d == 1:
             # decompose the per-sample conv over the k*k kernel positions:
             # each position is a strided slice of the (padded) input times a
             # per-sample (cin, cout) matrix -> k*k batched matmuls, which XLA

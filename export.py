@@ -77,13 +77,23 @@ def export_pb(saved_model_dir: Path, out: Path):
     return out
 
 
-def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False, rep_data=None):
+def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False, rep_data=None,
+                  ops: str = "builtins"):
+    """ops="builtins": legalize to TFLite builtins + SELECT_TF_OPS (flex) —
+    executable by the bundled interpreter today (verified: parity within
+    TFLite's transcendental-approximation error, ~0.13% rel on boxes).
+    ops="stablehlo": carry StableHLO ops directly — smaller/portable but
+    needs a LiteRT runtime newer than this image's tf 2.21 interpreter.
+    (Reference counterpart: export.py:182-214.)"""
     import tensorflow as tf
 
     converter = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
-    # jax2tf emits StableHLO (XlaCallModule); modern TFLite carries StableHLO
-    # ops directly — the classic builtin-ops path cannot legalize it
-    converter.target_spec.supported_ops = [tf.lite.OpsSet.EXPERIMENTAL_STABLEHLO_OPS]
+    if ops == "stablehlo":
+        converter.target_spec.supported_ops = [tf.lite.OpsSet.EXPERIMENTAL_STABLEHLO_OPS]
+    else:
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
     if int8:
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         if rep_data is not None:

@@ -72,13 +72,28 @@ def test_frozen_pb_written(exported):
 
 
 def test_tflite_roundtrip_matches_boxes(exported):
-    """TFLite conversion must succeed; execution parity is asserted when
-    the bundled interpreter carries the StableHLO op set (newer TFLite
-    runtimes do; this image's tf 2.21 interpreter predates
-    STABLEHLO_CONVOLUTION — the conversion itself is the deployable
-    artifact, and the SavedModel test covers executed-box parity)."""
+    """Default (builtins + flex) TFLite artifact must EXECUTE on the
+    bundled interpreter and match boxes. Tolerance is relative: TFLite's
+    builtin transcendentals (sigmoid/exp lookup approximations) deviate
+    ~0.13% from XLA on decoded box widths — measured round 3, documented
+    in PARITY.md."""
     fn, x, ref, sm_dir, out = exported
     tfl = export_tflite(sm_dir, out / "model.tflite")
+    assert tfl.exists() and tfl.stat().st_size > 1000
+    interp = tf.lite.Interpreter(model_path=str(tfl))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    got = interp.get_tensor(interp.get_output_details()[0]["index"])
+    np.testing.assert_allclose(got, ref, atol=1e-2, rtol=5e-3)
+
+
+def test_tflite_stablehlo_opset_converts(exported):
+    """The StableHLO-carrying variant (portable, for newer LiteRT
+    runtimes) must still convert; execution needs a post-2.21 runtime."""
+    fn, x, ref, sm_dir, out = exported
+    tfl = export_tflite(sm_dir, out / "model_hlo.tflite", ops="stablehlo")
     assert tfl.exists() and tfl.stat().st_size > 1000
     try:
         interp = tf.lite.Interpreter(model_path=str(tfl))
@@ -87,11 +102,6 @@ def test_tflite_roundtrip_matches_boxes(exported):
         if "STABLEHLO" in str(e):
             pytest.skip(f"interpreter lacks StableHLO ops: {str(e)[:80]}")
         raise
-    inp = interp.get_input_details()[0]
-    interp.set_tensor(inp["index"], x)
-    interp.invoke()
-    got = interp.get_tensor(interp.get_output_details()[0]["index"])
-    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-3)
 
 
 def test_stablehlo_dump(exported):

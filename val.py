@@ -53,6 +53,7 @@ def run(
     alpha_iou=False,
     plots=False,
     shard_spatial=1,
+    int8=False,
     runner: Runner = None,
     dataloader: DataLoader = None,
     names=None,
@@ -87,6 +88,18 @@ def run(
         conf_thres=conf_thres, iou_thres=iou_thres, multi_label=True, max_det=max_det,
         augment=augment, exact=True, max_nms=30000,
     )
+    if int8:
+        # int8 serving path under the EXACT eval protocol (same top-k +
+        # max_nms as the bf16 branch) so the mAP delta isolates
+        # quantization error (PERF.md round-3 accuracy bound)
+        from yolosomi_tpu.ops.quant import quantized_infer_fn
+
+        calib = next(iter(dataloader))[0]
+        qfn = quantized_infer_fn(
+            runner, calib, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=True, max_det=max_det, exact=True, max_nms=30000,
+        )
+        infer = lambda variables, x: qfn(x)  # noqa: E731
 
     loss_fn_batch = None
     if compute_loss is not None:
@@ -252,6 +265,7 @@ def parse_opt(argv=None):
     parser.add_argument("--exist-ok", action="store_true")
     parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
     parser.add_argument("--alpha-iou", action="store_true")
+    parser.add_argument("--int8", action="store_true", help="post-training int8 eval (calibrates on the first val batch)")
     parser.add_argument("--shard-spatial", type=int, default=1,
                         help="split activations along H over N devices (1280px+ inputs)")
     parser.add_argument("--plots", action="store_true")

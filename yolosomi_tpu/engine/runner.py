@@ -234,6 +234,7 @@ class EnsembleRunner:
         ncs = {m.meta.nc for m in self.members}
         assert len(ncs) == 1, f"ensemble members disagree on nc: {ncs}"
         self.meta = self.members[0].meta
+        self.dtype = dtype
         self._infer_cache = {}
         LOGGER.info(f"ensemble of {len(self.members)} models")
 

@@ -52,6 +52,9 @@ def apply_variant(name: str):
     if name == "odconv_im2col":
         L.ODConv2d.__dataclass_fields__["impl"].default = "im2col"
         return
+    if name == "odconv_pallas":
+        L.ODConv2d.__dataclass_fields__["impl"].default = "pallas"
+        return
     raise SystemExit(f"unknown variant {name}")
 
 

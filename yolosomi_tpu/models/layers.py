@@ -680,8 +680,10 @@ class ODConv2d(nn.Module):
     # the difference vanishes entirely (107.6 vs 108.2 ms/b32 full
     # forward) — XLA amortizes the batch-grouped conv against neighbors.
     # vmap stays the default; "auto" selects im2col for >160^2 inputs;
-    # "pos_matmul" is a numerical cross-check (tests/test_odconv_parity.py).
-    impl: str = "vmap"  # vmap | auto | im2col | pos_matmul
+    # "pos_matmul" is a numerical cross-check (tests/test_odconv_parity.py);
+    # "pallas" fuses the 9 taps in VMEM (ops/odconv_pallas.py) — inference
+    # only (no VJP) and TPU only; it falls back to vmap otherwise.
+    impl: str = "vmap"  # vmap | auto | im2col | pos_matmul | pallas
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -732,8 +734,17 @@ class ODConv2d(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "im2col" if (self.g == 1 and self.d == 1 and h * w > 160 * 160) else "vmap"
+        if impl == "pallas":
+            from yolosomi_tpu.ops import odconv_pallas
 
-        if impl == "im2col" and self.g == 1 and self.d == 1:
+            if train or not odconv_pallas.supported(self.k, self.s, self.g, self.d, h, w, self.c2):
+                impl = "vmap"  # kernel has no VJP; training takes the batch-grouped conv
+
+        if impl == "pallas":
+            from yolosomi_tpu.ops.odconv_pallas import odconv_s2_pallas
+
+            out = odconv_s2_pallas(x, wmix)
+        elif impl == "im2col" and self.g == 1 and self.d == 1:
             # ONE batched matmul: patch-extract the input once, then
             # einsum against the per-sample mixed kernel. XLA lowers
             # batch-grouped convs at ~8x a dense conv's cost (PERF.md);

@@ -9,9 +9,11 @@ export.py:50-251):
     pb          : frozen TF GraphDef
     tflite      : TFLite flatbuffer (+ --int8 with a representative
                   dataset for full integer quantization)
-    stablehlo   : StableHLO MLIR text via jax.export (the portable IR —
-                  serves the role of the reference's ONNX path; onnx is
-                  not bundled in this image)
+    stablehlo   : StableHLO MLIR text via jax.export (the portable IR)
+    onnx        : ONNX protobuf via the torch mirror graph
+                  (utils/torch_mirror.py) + torch's ONNX serializer —
+                  reference counterpart export.py:64-130; covers the
+                  yolov5-family graphs (mirrors exist for their blocks)
 
 Each export wraps forward + decode; NMS stays outside (like the
 reference's default exports) unless --nms.
@@ -146,6 +148,8 @@ def run(
     iou_thres=0.45,
     int8=False,
     data=None,
+    opset=12,
+    dynamic=False,
     project="runs/export",
     name="exp",
 ):
@@ -157,6 +161,23 @@ def run(
     fn = _build_fn(runner, nms, conf_thres, iou_thres)
 
     outputs = []
+    if "onnx" in include:
+        from yolosomi_tpu.utils.onnx_export import export_onnx, onnx_summary
+
+        out = save_dir / "model.onnx"
+        try:
+            export_onnx(
+                runner.meta.yaml, runner.meta, runner.variables, str(out),
+                imgsz=imgsz, batch=batch_size, opset=opset, dynamic_batch=dynamic,
+            )
+            s = onnx_summary(str(out))
+            LOGGER.info(
+                f"ONNX: {out} (opset {s['opset']}, {s['n_nodes']} nodes, "
+                f"{s['n_initializers']} initializers, ops {sorted(s['ops'])})"
+            )
+            outputs.append(out)
+        except NotImplementedError as e:
+            LOGGER.warning(f"ONNX: skipped — {e}")
     if "stablehlo" in include:
         outputs.append(export_stablehlo(fn, imgsz, batch_size, save_dir / "model.stablehlo.mlir"))
     sm_dir = None
@@ -184,6 +205,8 @@ def parse_opt(argv=None):
     parser.add_argument("--iou-thres", type=float, default=0.45)
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--data", type=str, default=None, help="images dir for int8 calibration")
+    parser.add_argument("--opset", type=int, default=12, help="ONNX opset version")
+    parser.add_argument("--dynamic", action="store_true", help="ONNX dynamic batch axis")
     parser.add_argument("--project", default="runs/export")
     parser.add_argument("--name", default="exp")
     parser.add_argument("--device", type=str, default="")

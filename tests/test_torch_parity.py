@@ -22,71 +22,15 @@ from yolosomi_tpu.models.heads import decode  # noqa: E402
 from yolosomi_tpu.models.yolo import build_model, init_model  # noqa: E402
 from yolosomi_tpu.utils.torch_convert import anchors_from_state_dict, convert_state_dict  # noqa: E402
 
-# ---- torch golden modules (independent implementation) -------------------
-
-
-class TConv(nn.Module):
-    def __init__(self, c1, c2, k=1, s=1):
-        super().__init__()
-        self.conv = nn.Conv2d(c1, c2, k, s, k // 2, bias=False)
-        self.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
-        self.act = nn.SiLU()
-
-    def forward(self, x):
-        return self.act(self.bn(self.conv(x)))
-
-
-class TBottleneck(nn.Module):
-    def __init__(self, c1, c2, shortcut=True):
-        super().__init__()
-        self.cv1 = TConv(c1, c2, 1, 1)
-        self.cv2 = TConv(c2, c2, 3, 1)
-        self.add = shortcut and c1 == c2
-
-    def forward(self, x):
-        y = self.cv2(self.cv1(x))
-        return x + y if self.add else y
-
-
-class TC3(nn.Module):
-    def __init__(self, c1, c2, n=1, shortcut=True):
-        super().__init__()
-        c_ = c2 // 2
-        self.cv1 = TConv(c1, c_, 1, 1)
-        self.cv2 = TConv(c1, c_, 1, 1)
-        self.cv3 = TConv(2 * c_, c2, 1, 1)
-        self.m = nn.Sequential(*(TBottleneck(c_, c_, shortcut) for _ in range(n)))
-
-    def forward(self, x):
-        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
-
-
-class TSPPF(nn.Module):
-    def __init__(self, c1, c2, k=5):
-        super().__init__()
-        c_ = c1 // 2
-        self.cv1 = TConv(c1, c_, 1, 1)
-        self.cv2 = TConv(c_ * 4, c2, 1, 1)
-        self.mp = nn.MaxPool2d(k, 1, k // 2)
-
-    def forward(self, x):
-        x = self.cv1(x)
-        y1 = self.mp(x)
-        y2 = self.mp(y1)
-        return self.cv2(torch.cat([x, y1, y2, self.mp(y2)], 1))
-
-
-class TFocus(nn.Module):
-    def __init__(self, c1, c2, k=1):
-        super().__init__()
-        self.conv = TConv(c1 * 4, c2, k, 1)
-
-    def forward(self, x):
-        return self.conv(
-            torch.cat(
-                [x[..., ::2, ::2], x[..., 1::2, ::2], x[..., ::2, 1::2], x[..., 1::2, 1::2]], 1
-            )
-        )
+# torch golden modules (independent implementations) now live in the
+# package so ONNX export shares them — see utils/torch_mirror.py
+from yolosomi_tpu.utils.torch_mirror import (  # noqa: E402
+    TC3,
+    TC2fCBAM,
+    TConv,
+    TFocus,
+    TSPPF,
+)
 
 
 class TDetectConvs(nn.Module):
@@ -240,64 +184,6 @@ def test_bn_eval_semantics(parity_pair):
     np.testing.assert_allclose(np.asarray(j1[0][0]), np.asarray(j2[0][0]), atol=1e-5)
 
 
-class TChannelAttention(nn.Module):
-    """Reference-shaped CBAM channel gate (common.py:339)."""
-
-    def __init__(self, c1, reduction=16):
-        super().__init__()
-        mid = max(c1 // reduction, 1)
-        self.shared_MLP = nn.Sequential(nn.Linear(c1, mid), nn.ReLU(), nn.Linear(mid, c1))
-
-    def forward(self, x):
-        b, c, _, _ = x.shape
-        avg = self.shared_MLP(x.mean((2, 3)))
-        mx = self.shared_MLP(x.amax((2, 3)))
-        return torch.sigmoid(avg + mx).view(b, c, 1, 1)
-
-
-class TSpatialAttention(nn.Module):
-    def __init__(self, k=7):
-        super().__init__()
-        self.cv1 = nn.Conv2d(2, 1, k, padding=k // 2)
-
-    def forward(self, x):
-        s = torch.cat([x.mean(1, keepdim=True), x.amax(1, keepdim=True)], 1)
-        return torch.sigmoid(self.cv1(s))
-
-
-class TCBAMBottleneck(nn.Module):
-    """CBAM bottleneck as the reference wires it from C2fCBAM
-    (common.py:671-695 with e=1.0, ratio=16, k=7)."""
-
-    def __init__(self, c):
-        super().__init__()
-        self.cv1 = TConv(c, c, 3, 1)
-        self.cv2 = TConv(c, c, 3, 1)
-        self.channel_attention = TChannelAttention(c, 16)
-        self.spatial_attention = TSpatialAttention(7)
-
-    def forward(self, x):
-        y = self.cv1(x)
-        y = self.channel_attention(y) * y
-        y = self.spatial_attention(y) * y
-        return self.cv2(y)
-
-
-class TC2fCBAM(nn.Module):
-    def __init__(self, c1, c2, n=1):
-        super().__init__()
-        self.c = c2 // 2
-        self.cv1 = TConv(c1, 2 * self.c, 1, 1)
-        self.cv2 = TConv((2 + n) * self.c, c2, 1, 1)
-        self.m = nn.ModuleList(TCBAMBottleneck(self.c) for _ in range(n))
-
-    def forward(self, x):
-        y = list(self.cv1(x).chunk(2, 1))
-        for m in self.m:
-            y.append(m(y[-1]))
-        return self.cv2(torch.cat(y, 1))
-
-
 def test_c2fcbam_parity():
     """Flagship attention block vs torch golden through the converter.
     Note: reference CBAMBottleneck is residual only when c1 == c2 AND
@@ -305,7 +191,7 @@ def test_c2fcbam_parity():
     mirrored by shortcut=True here."""
     from yolosomi_tpu.models.layers import C2fCBAM
 
-    tblock = TC2fCBAM(16, 16, n=2).eval()
+    tblock = TC2fCBAM(16, 16, n=2, shortcut=True).eval()
     sd = _randomized_state_dict(tblock)
 
     jblock = C2fCBAM(16, n=2, shortcut=True)
@@ -320,19 +206,8 @@ def test_c2fcbam_parity():
                                    strict=True)
     variables = {"params": variables["params"]["layers_0"], "batch_stats": variables["batch_stats"]["layers_0"]}
 
-    # torch residual add inside bottleneck: flagship passes shortcut=True
-    class TC2fCBAMRes(TC2fCBAM):
-        pass
-
     with torch.no_grad():
-        # manual forward with residual adds to match shortcut=True
-        y = list(tblock.cv1(torch.from_numpy(x)).chunk(2, 1))
-        for m in tblock.m:
-            inner = m.cv1(y[-1])
-            inner = m.channel_attention(inner) * inner
-            inner = m.spatial_attention(inner) * inner
-            y.append(y[-1] + m.cv2(inner))
-        t_out = tblock.cv2(torch.cat(y, 1)).numpy()
+        t_out = tblock(torch.from_numpy(x)).numpy()
 
     j_out = jblock.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
     np.testing.assert_allclose(t_out.transpose(0, 2, 3, 1), np.asarray(j_out), atol=3e-4, rtol=1e-3)

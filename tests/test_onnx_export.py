@@ -133,10 +133,56 @@ def test_export_yolov5s_full_graph(tmp_path):
     assert s["outputs"] == ["output"]
 
 
+def test_flagship_somi_decoded_parity_and_export(tmp_path):
+    """The SOMI flagship graph (ODConv, C2fCBAM, BiFPN, SEAM, C2fEMACBAM,
+    DecoupledDetect) exports with decoded parity against the flax model.
+    Reduced width/depth to keep the CPU compile fast — same classes, same
+    key mapping."""
+    cfg = dict(load_model_cfg(find_config("yolo-somi")))
+    cfg["width_multiple"], cfg["depth_multiple"] = 0.25, 0.33
+    model, meta = build_model(cfg, nc=3)
+    variables = init_model(model, meta, imgsz=64)
+    tmodel = build_torch_mirror(cfg, meta, imgsz=64, decode=True)
+    sd = _randomized_state_dict(tmodel)
+    variables = convert_state_dict(sd, variables, strict=True)
+    out_sd, missing = state_dict_from_variables(variables, tmodel)
+    assert not missing, missing
+    tmodel.load_state_dict(out_sd)
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_dec = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = model.apply(variables, jnp.asarray(x), False)
+    j_dec = np.asarray(decode(j_out, meta.anchors_px, meta.strides))
+    assert t_dec.shape == j_dec.shape
+    np.testing.assert_allclose(t_dec[..., :4], j_dec[..., :4], atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(t_dec[..., 4:], j_dec[..., 4:], atol=5e-4)
+
+    path = tmp_path / "somi.onnx"
+    export_onnx(cfg, meta, variables, str(path), imgsz=64, batch=1, opset=12)
+    s = onnx_summary(str(path))
+    assert s["outputs"] == ["output"]
+    assert "Softmax" in s["ops"]  # ODConv kernel attention
+    assert "Exp" in s["ops"]  # SEAM exp-of-sigmoid gate
+
+
 def test_unsupported_graph_raises():
     """Graphs outside the mirror registry fail with a clear error, not a
     silent wrong artifact."""
-    cfg = load_model_cfg(find_config("yolo-somi"))
-    model, meta = build_model(cfg, nc=3)
-    with pytest.raises(NotImplementedError, match="torch mirror"):
+    cfg = {
+        "nc": 2,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": ANCHORS2,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "GhostConv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+        ],
+        "head": [[[1, 2], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg)
+    with pytest.raises(NotImplementedError, match="GhostConv"):
         build_torch_mirror(cfg, meta, imgsz=64)

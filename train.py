@@ -235,10 +235,12 @@ def train(hyp: dict, opt) -> float:
         # per-epoch val with EMA weights (reference: train.py:291-303)
         results = (0, 0, 0, 0, 0, 0, 0)
         if not opt.noval or epoch == opt.epochs - 1:
-            ema_vars = jax.device_get(ema_variables(state))
-            val_runner.variables = jax.tree_util.tree_map(jnp.asarray, ema_vars)
-            # note: the infer cache stays warm — variables are call
-            # arguments, so no recompile is needed between epochs
+            # EMA weights stay on device: a host round trip here moves the
+            # full parameter tree through the tunnel twice per epoch.
+            # Safe because the train step does not donate its state
+            # (engine/trainer.py donate default). The infer cache stays
+            # warm — variables are call arguments, so no recompile either.
+            val_runner.variables = ema_variables(state)
             results, maps, _ = validate.run(
                 data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
                 project=str(save_dir), name="val", exist_ok=True, names=names,

@@ -101,17 +101,9 @@ def run(
         )
         infer = lambda variables, x: qfn(x)  # noqa: E731
 
-    loss_fn_batch = None
-    if compute_loss is not None:
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        @_jax.jit
-        def loss_fn_batch(variables, images, targets):
-            if images.dtype == _jnp.uint8:
-                images = images.astype(_jnp.float32) / 255.0
-            preds = runner.model.apply(variables, images, train=False)
-            return compute_loss(preds, targets)[1]
+    # cached on the runner: defining a fresh jit closure here recompiled
+    # the full forward+loss program on every per-epoch call (~30 s/epoch)
+    loss_fn_batch = runner.val_loss_fn(compute_loss) if compute_loss is not None else None
 
     val_losses = np.zeros(3)
     n_loss_batches = 0

@@ -66,6 +66,26 @@ class Runner:
                 LOGGER.warning(f"weights {weights} not found; using random init")
             self.variables = init_model(self.model, self.meta, imgsz=min(imgsz, 256))
         self._infer_cache = {}
+        self._loss_cache = {}
+
+    def val_loss_fn(self, compute_loss):
+        """Jitted (variables, images, targets) -> loss components for the
+        per-epoch val loop. Cached per loss object: a fresh jit closure
+        each epoch recompiles the whole forward+loss program (~30 s/epoch
+        measured on the flagship — this cache is the difference between
+        7 s and 38 s epochs in train.py's val gating)."""
+        key = id(compute_loss)
+        if key not in self._loss_cache:
+
+            @jax.jit
+            def loss_fn_batch(variables, images, targets):
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                preds = self.model.apply(variables, images, train=False)
+                return compute_loss(preds, targets)[1]
+
+            self._loss_cache[key] = loss_fn_batch
+        return self._loss_cache[key]
 
     def _infer_nc(self, params: dict):
         head_keys = [k for k in params if k.startswith("layers_")]

@@ -186,17 +186,210 @@ class TConcat(nn.Module):
         return torch.cat(xs, self.dim)
 
 
-class TDetect(nn.Module):
-    """Coupled head with the reference's export-time decode baked in
-    (yolo.py:84-97): sigmoid, xy=(2t-0.5+grid)*stride, wh=(2t)^2*anchor,
-    flattened (ny, nx, na) per level to match heads.decode's row order.
+class TODConv2d(nn.Module):
+    """Omni-dimensional dynamic conv core, mirroring models/layers.py
+    ODConv2d (reference: common.py:4495-4610): K candidate kernels mixed
+    per-sample by four attention factors, then the grouped-conv trick
+    (view(1, B*C, H, W), groups=B — the reference's own lowering).
+    The candidate bias bank lives on the parent wrapper (the converter
+    maps our `conv/bias` leaf to `model.<i>.bias`)."""
 
-    Grids are registered buffers precomputed at the export image size —
-    static shapes, so the ONNX graph carries them as constants (the
-    reference's dynamic `_make_grid` re-trace has no ONNX counterpart
-    for fixed-size export either)."""
+    def __init__(self, c1, c2, k=3, s=1, K=4, r=1.0 / 16.0):
+        super().__init__()
+        self.k, self.s, self.K, self.c1, self.c2 = k, s, K, c1, c2
+        hidden = max(int(c1 * r), 16)
+        self.weight = nn.Parameter(torch.zeros(K, c2, c1, k, k))
+        self.fc = nn.Linear(c1, hidden, bias=False)
+        # flax momentum 0.9 == torch momentum 0.1 (decay conventions)
+        self.bn = nn.BatchNorm1d(hidden, eps=1e-5, momentum=0.1)
+        self.fc_f = nn.Linear(hidden, c2)
+        self.fc_s = nn.Linear(hidden, k * k)
+        self.fc_c = nn.Linear(hidden, c1)
+        self.fc_w = nn.Linear(hidden, K)
 
-    def __init__(self, nc, anchors_px, strides, ch, imgsz=640, decode=True):
+    def forward(self, x, bias_bank):
+        b, c1, h, w = x.shape
+        k = self.k
+        v = x.mean((2, 3))
+        v = torch.relu(self.bn(self.fc(v)))
+        attn_f = torch.sigmoid(self.fc_f(v))  # (b, c2)
+        attn_s = torch.sigmoid(self.fc_s(v)).view(b, 1, 1, k, k)
+        attn_c = torch.sigmoid(self.fc_c(v)).view(b, 1, c1, 1, 1)
+        attn_w = torch.softmax(self.fc_w(v), -1)  # (b, K)
+        wmix = torch.einsum("bk,koihw->boihw", attn_w, self.weight)
+        wmix = wmix * attn_s * attn_c * attn_f.view(b, self.c2, 1, 1, 1)
+        out = torch.nn.functional.conv2d(
+            x.reshape(1, b * c1, h, w),
+            wmix.reshape(b * self.c2, c1, k, k),
+            stride=self.s,
+            padding=k // 2,
+            groups=b,
+        )
+        out = out.view(b, self.c2, out.shape[-2], out.shape[-1])
+        bmix = attn_w @ bias_bank  # (b, c2)
+        return out + bmix.view(b, self.c2, 1, 1)
+
+
+class TODConv(nn.Module):
+    """ODConv + BN + SiLU wrapper (YAML `ODConv_3rd`)."""
+
+    def __init__(self, c1, c2, k=3, s=1, K=4):
+        super().__init__()
+        self.conv = TODConv2d(c1, c2, k, s, K)
+        self.bias = nn.Parameter(torch.zeros(K, c2))
+        self.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.act = nn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x, self.bias)))
+
+
+class TSEAM(nn.Module):
+    """Spatially-enhanced attention (mirrors models/layers.py SEAM;
+    reference: common.py:8448-8505): depthwise-residual stack, SE-style
+    MLP, exp-of-sigmoid channel gate."""
+
+    def __init__(self, c, n=1, reduction=16):
+        super().__init__()
+        self.n = n
+        self.dcov_patch = nn.Conv2d(c, c, 3, 1, 1, groups=c)
+        self.bn_patch = nn.BatchNorm2d(c, eps=1e-3, momentum=0.03)
+        self.dw = nn.ModuleList(nn.Conv2d(c, c, 3, 1, 1, groups=c) for _ in range(n))
+        self.bn_dw = nn.ModuleList(nn.BatchNorm2d(c, eps=1e-3, momentum=0.03) for _ in range(n))
+        self.pw = nn.ModuleList(nn.Conv2d(c, c, 1) for _ in range(n))
+        self.bn_pw = nn.ModuleList(nn.BatchNorm2d(c, eps=1e-3, momentum=0.03) for _ in range(n))
+        mid = max(c // reduction, 1)
+        self.fc1 = nn.Linear(c, mid, bias=False)
+        self.fc2 = nn.Linear(mid, c, bias=False)
+
+    def forward(self, x):
+        # tanh-approximate GELU: flax nn.gelu's default, which the flax
+        # SEAM uses — torch defaults to the exact erf form
+        gelu = lambda t: torch.nn.functional.gelu(t, approximate="tanh")  # noqa: E731
+        y = self.bn_patch(gelu(self.dcov_patch(x)))
+        for i in range(self.n):
+            r = self.bn_dw[i](gelu(self.dw[i](y)))
+            y = y + r
+            y = self.bn_pw[i](gelu(self.pw[i](y)))
+        v = y.mean((2, 3))
+        v = self.fc2(torch.relu(self.fc1(v)))
+        gate = torch.exp(torch.sigmoid(v))
+        return x * gate[:, :, None, None]
+
+
+class TEMACBAMBottleneck(nn.Module):
+    """EMA-grouped attention bottleneck (mirrors models/layers.py
+    EMACBAMBottleneck; reference: common.py:895-957 as repaired there —
+    no residual, per-channel instance norm)."""
+
+    def __init__(self, c2, e=0.5, factor=8):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.factor = factor
+        self.cv1 = nn.Conv2d(c2, c_, 3, 1, 1)
+        self.cv2 = nn.Conv2d(c_, c2, 3, 1, 1)
+        gch = max(c2 // factor, 1)
+        self.fc1 = nn.Linear(c2, gch, bias=False)
+        self.fc2 = nn.Linear(gch, c2, bias=False)
+        self.conv_spatial = nn.Conv2d(gch, 1, (7, 1), padding=(3, 0), bias=False)
+        self.gn = nn.GroupNorm(c2, c2, eps=1e-5)
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        b, c, h, w = y.shape
+        g = self.factor
+        gch = c // g
+        avg = y.mean((2, 3))
+        mx = y.amax((2, 3))
+        gate_c = torch.sigmoid(
+            self.fc2(torch.relu(self.fc1(avg))) + self.fc2(torch.relu(self.fc1(mx)))
+        )
+        y = y * gate_c[:, :, None, None]
+        gy = y.view(b, g, gch, h, w)
+        ph = gy.mean(4)  # (b, g, gch, h)
+        pw = gy.mean(3)  # (b, g, gch, w)
+        profile = torch.cat([ph, pw], 3)  # (b, g, gch, h+w)
+        gate_s = self.conv_spatial(profile.reshape(b * g, gch, h + w, 1))
+        gate_s = torch.sigmoid(gate_s.view(b, g, h + w))
+        gate_h = gate_s[:, :, :h].view(b, g, 1, h, 1)
+        gate_w = gate_s[:, :, h:].view(b, g, 1, 1, w)
+        gy = (gy * gate_h * gate_w).view(b, c, h, w)
+        return self.gn(gy)
+
+
+class TC2fEMACBAM(nn.Module):
+    def __init__(self, c1, c2, n=1):
+        super().__init__()
+        self.c = c2 // 2
+        self.cv1 = TConv(c1, 2 * self.c, 1, 1)
+        self.cv2 = TConv((2 + n) * self.c, c2, 1, 1)
+        self.m = nn.ModuleList(TEMACBAMBottleneck(self.c) for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        for m in self.m:
+            y.append(m(y[-1]))
+        return self.cv2(torch.cat(y, 1))
+
+
+class TBiFPN(nn.Module):
+    """Learned-weight fusion (mirrors models/layers.py BiFPN; reference:
+    common.py:3688-3705): w_i / (sum(swish(w)) + eps) weighted sum."""
+
+    def __init__(self, length, epsilon=1e-4):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(length))
+        self.epsilon = epsilon
+
+    def forward(self, xs):
+        w = self.weight
+        wn = w / (torch.sum(w * torch.sigmoid(w)) + self.epsilon)
+        out = wn[0] * xs[0]
+        for i in range(1, len(xs)):
+            out = out + wn[i] * xs[i]
+        return out
+
+
+class TDecouple(nn.Module):
+    """Decoupled branch head for one level (mirrors heads.py Decouple;
+    reference: yolo.py:1042-1074)."""
+
+    def __init__(self, c1, nc, na):
+        super().__init__()
+        self.nc, self.na = nc, na
+        c_ = min(c1, 256)
+        na5 = na * 5
+        taper = [int(t * (c_ - na5) + na5) for t in (1.0, 2.0 / 3.0, 1.0 / 3.0, 0.0)]
+        self.a = TConv(c1, c_, 1, 1)
+        self.b1 = TConv(c_, taper[1], 3, 1)
+        self.b2 = TConv(taper[1], taper[2], 3, 1)
+        self.b3 = nn.Conv2d(taper[2], na5, 1)
+        self.c1 = TConv(c_, c_, 1, 1)
+        self.c2 = TConv(c_, c_, 1, 1)
+        self.c3 = nn.Conv2d(c_, na * nc, 1)
+
+    def forward(self, x):
+        stem = self.a(x)
+        r = self.b3(self.b2(self.b1(stem)))
+        c = self.c3(self.c2(self.c1(stem)))
+        b, _, ny, nx = r.shape
+        r = r.view(b, self.na, 5, ny, nx)
+        c = c.view(b, self.na, self.nc, ny, nx)
+        return torch.cat([r, c], 2)  # (b, na, no, ny, nx)
+
+
+class TBaseDetect(nn.Module):
+    """Shared head plumbing: anchor/grid buffers + the reference's
+    export-time decode (yolo.py:84-97): sigmoid, xy=(2t-0.5+grid)*stride,
+    wh=(2t)^2*anchor, flattened (ny, nx, na) per level to match
+    heads.decode's row order.
+
+    Grids are registered (non-persistent) buffers precomputed at the
+    export image size — static shapes, so the ONNX graph carries them as
+    constants (the reference's dynamic `_make_grid` re-trace has no ONNX
+    counterpart for fixed-size export either)."""
+
+    def __init__(self, nc, anchors_px, strides, imgsz=640, decode=True):
         super().__init__()
         # copy: from_numpy shares memory, and these arrays are views into
         # the live ModelMeta — load_state_dict must never write through
@@ -205,14 +398,11 @@ class TDetect(nn.Module):
         self.no = nc + 5
         self.decode = decode
         self.strides = [int(s) for s in strides]
-        self.m = nn.ModuleList(nn.Conv2d(c, self.na * self.no, 1) for c in ch)
         # grid-unit anchors, the reference checkpoint convention (yolo.py:1203)
         self.register_buffer(
             "anchors",
             torch.from_numpy(anchors_px / np.asarray(self.strides, np.float32)[:, None, None]),
         )
-        # derived decode constants: non-persistent so state_dict round
-        # trips can't perturb them (they are functions of meta + imgsz)
         for i, s in enumerate(self.strides):
             ny = nx = int(imgsz) // s
             yv, xv = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
@@ -224,37 +414,82 @@ class TDetect(nn.Module):
                 persistent=False,
             )
 
+    def _finish(self, i, y):
+        """y: (b, na, ny, nx, no) raw. Returns decoded rows or raw map."""
+        if not self.decode:
+            return y
+        b = y.shape[0]
+        y = y.sigmoid()
+        xy = (y[..., 0:2] * 2.0 - 0.5 + getattr(self, f"grid{i}")) * float(self.strides[i])
+        wh = (y[..., 2:4] * 2.0) ** 2 * getattr(self, f"anchor{i}")
+        out = torch.cat((xy, wh, y[..., 4:]), -1)
+        return out.permute(0, 2, 3, 1, 4).reshape(b, -1, self.no)
+
+    def _collect(self, outs):
+        return torch.cat(outs, 1) if self.decode else outs
+
+
+class TDetect(TBaseDetect):
+    """Coupled YOLOv5 head: one 1x1 conv per level."""
+
+    def __init__(self, nc, anchors_px, strides, ch, imgsz=640, decode=True):
+        super().__init__(nc, anchors_px, strides, imgsz=imgsz, decode=decode)
+        self.m = nn.ModuleList(nn.Conv2d(c, self.na * self.no, 1) for c in ch)
+
     def forward(self, xs):
         outs = []
         for i, (m, x) in enumerate(zip(self.m, xs)):
             y = m(x)
             b, _, ny, nx = y.shape
             y = y.view(b, self.na, self.no, ny, nx).permute(0, 1, 3, 4, 2)
-            if not self.decode:
-                outs.append(y)
-                continue
-            y = y.sigmoid()
-            xy = (y[..., 0:2] * 2.0 - 0.5 + getattr(self, f"grid{i}")) * float(self.strides[i])
-            wh = (y[..., 2:4] * 2.0) ** 2 * getattr(self, f"anchor{i}")
-            out = torch.cat((xy, wh, y[..., 4:]), -1)
-            outs.append(out.permute(0, 2, 3, 1, 4).reshape(b, -1, self.no))
-        return torch.cat(outs, 1) if self.decode else outs
+            outs.append(self._finish(i, y))
+        return self._collect(outs)
+class TDecoupledDetect(TBaseDetect):
+    """The SOMI head (mirrors heads.py DecoupledDetect; reference:
+    yolo.py:925-1040)."""
+
+    def __init__(self, nc, anchors_px, strides, ch, imgsz=640, decode=True):
+        super().__init__(nc, anchors_px, strides, imgsz=imgsz, decode=decode)
+        self.m = nn.ModuleList(TDecouple(c, nc, self.na) for c in ch)
+
+    def forward(self, xs):
+        outs = []
+        for i, (m, x) in enumerate(zip(self.m, xs)):
+            y = m(x).permute(0, 1, 3, 4, 2)  # (b, na, ny, nx, no)
+            outs.append(self._finish(i, y))
+        return self._collect(outs)
+
+
 
 
 # registry-name -> mirror factory; extend as more families gain mirrors.
-# Each factory sees (c1, c2, n, rest_args) with c2 already width-resolved.
+# Each factory sees (c1, c2, n, rest_args, from_spec) with c2 already
+# width-resolved; most ignore from_spec (BiFPN derives its arity from it).
 _MIRROR = {
-    "Conv": lambda c1, c2, n, a: TConv(c1, c2, *a[:3]),
-    "DWConv": lambda c1, c2, n, a: TDWConv(c1, c2, *a[:2]),
-    "Focus": lambda c1, c2, n, a: TFocus(c1, c2, *a[:1]),
-    "Bottleneck": lambda c1, c2, n, a: TBottleneck(c1, c2, *a[:1]),
-    "C3": lambda c1, c2, n, a: TC3(c1, c2, n, *a[:1]),
-    "C2fCBAM": lambda c1, c2, n, a: TC2fCBAM(c1, c2, n, *a[:1]),
-    "SPP": lambda c1, c2, n, a: TSPP(c1, c2, *a[:1]),
-    "SPPF": lambda c1, c2, n, a: TSPPF(c1, c2, *a[:1]),
-    "nn.Upsample": lambda c1, c2, n, a: nn.Upsample(size=a[0], scale_factor=a[1], mode=a[2]),
-    "Upsample": lambda c1, c2, n, a: nn.Upsample(size=a[0], scale_factor=a[1], mode=a[2]),
-    "Concat": lambda c1, c2, n, a: TConcat(*a[:1]),
+    "Conv": lambda c1, c2, n, a, f: TConv(c1, c2, *a[:3]),
+    "DWConv": lambda c1, c2, n, a, f: TDWConv(c1, c2, *a[:2]),
+    "Focus": lambda c1, c2, n, a, f: TFocus(c1, c2, *a[:1]),
+    "Bottleneck": lambda c1, c2, n, a, f: TBottleneck(c1, c2, *a[:1]),
+    "C3": lambda c1, c2, n, a, f: TC3(c1, c2, n, *a[:1]),
+    "C2fCBAM": lambda c1, c2, n, a, f: TC2fCBAM(c1, c2, n, *a[:1]),
+    "C2fEMACBAM": lambda c1, c2, n, a, f: TC2fEMACBAM(c1, c2, n),
+    "C2fEACBAM": lambda c1, c2, n, a, f: TC2fEMACBAM(c1, c2, n),
+    "SPP": lambda c1, c2, n, a, f: TSPP(c1, c2, *a[:1]),
+    "SPPF": lambda c1, c2, n, a, f: TSPPF(c1, c2, *a[:1]),
+    "ODConv": lambda c1, c2, n, a, f: TODConv(c1, c2, *a[:3]),
+    "ODConv_3rd": lambda c1, c2, n, a, f: TODConv(c1, c2, *a[:3]),
+    "SEAM": lambda c1, c2, n, a, f: TSEAM(c1, *a[:2]),
+    "BiFPN": lambda c1, c2, n, a, f: TBiFPN(len(f)),
+    "nn.Upsample": lambda c1, c2, n, a, f: nn.Upsample(size=a[0], scale_factor=a[1], mode=a[2]),
+    "Upsample": lambda c1, c2, n, a, f: nn.Upsample(size=a[0], scale_factor=a[1], mode=a[2]),
+    "Concat": lambda c1, c2, n, a, f: TConcat(*a[:1]),
+}
+
+_HEADS = {
+    "Detect": TDetect,
+    "DecoupledDetect": TDecoupledDetect,
+    "DecoupledDetect1": TDecoupledDetect,
+    "Decoupled_Detect": TDecoupledDetect,
 }
 
 
@@ -271,10 +506,12 @@ class TorchMirrorModel(nn.Module):
         unsupported = []
         for spec, (f, n, mname, _args) in zip(meta.specs, rows):
             mname = str(mname)
-            if spec.i == len(meta.specs) - 1 and mname in ("Detect",):
+            if spec.i == len(meta.specs) - 1 and mname in _HEADS:
                 ch = [meta.specs[j].c2 for j in meta.head_from]
                 layers.append(
-                    TDetect(meta.nc, meta.anchors_px, meta.strides, ch, imgsz=imgsz, decode=decode)
+                    _HEADS[mname](
+                        meta.nc, meta.anchors_px, meta.strides, ch, imgsz=imgsz, decode=decode
+                    )
                 )
                 continue
             if mname not in _MIRROR:
@@ -284,10 +521,15 @@ class TorchMirrorModel(nn.Module):
             fi = f if isinstance(f, int) else f[0]
             src = spec.i + fi if fi < 0 else fi
             c1 = meta.specs[src].c2 if src >= 0 else 3
-            # rest args: everything after the raw c2 slot (Concat/Upsample
-            # rows have no c2 slot — their spec args pass through whole)
-            rest = spec.args[1:] if mname not in ("Concat", "nn.Upsample", "Upsample") else spec.args
-            layers.append(_MIRROR[mname](c1, spec.c2, n_rep, rest))
+            # rest args: everything after the raw c2 slot (Concat/Upsample/
+            # BiFPN rows have no c2 slot — their spec args pass through whole)
+            rest = (
+                spec.args[1:]
+                if mname not in ("Concat", "nn.Upsample", "Upsample", "BiFPN")
+                else spec.args
+            )
+            flist = f if isinstance(f, (list, tuple)) else [f]
+            layers.append(_MIRROR[mname](c1, spec.c2, n_rep, rest, flist))
         if unsupported:
             raise NotImplementedError(
                 "no torch mirror for: " + ", ".join(unsupported)

@@ -161,6 +161,19 @@ def run(
     fn = _build_fn(runner, nms, conf_thres, iou_thres)
 
     outputs = []
+    if "torchscript" in include:
+        from yolosomi_tpu.utils.onnx_export import export_torchscript
+
+        out = save_dir / "model.torchscript"
+        try:
+            export_torchscript(
+                runner.meta.yaml, runner.meta, runner.variables, str(out),
+                imgsz=imgsz, batch=batch_size,
+            )
+            LOGGER.info(f"TorchScript: {out} ({out.stat().st_size / 1e6:.1f} MB)")
+            outputs.append(out)
+        except NotImplementedError as e:
+            LOGGER.warning(f"TorchScript: skipped — {e}")
     if "onnx" in include:
         from yolosomi_tpu.utils.onnx_export import export_onnx, onnx_summary
 

@@ -22,6 +22,7 @@ from yolosomi_tpu.models.yolo import build_model, init_model  # noqa: E402
 from yolosomi_tpu.utils.config import find_config, load_model_cfg  # noqa: E402
 from yolosomi_tpu.utils.onnx_export import (  # noqa: E402
     export_onnx,
+    export_torchscript,
     onnx_summary,
     state_dict_from_variables,
 )
@@ -131,6 +132,24 @@ def test_export_yolov5s_full_graph(tmp_path):
     s = onnx_summary(str(path))
     assert s["ops"].get("Conv", 0) >= 60  # 60 convs in yolov5s
     assert s["outputs"] == ["output"]
+
+
+def test_torchscript_roundtrip_executes(pair, tmp_path):
+    """TorchScript artifact loads back and reproduces the flax model's
+    decoded boxes — the fully-executable leg of the export matrix
+    (reference export.py:50-63)."""
+    model, meta, variables, tmodel, sd = pair
+    path = tmp_path / "mini.torchscript"
+    export_torchscript(CFG, meta, variables, str(path), imgsz=IMGSZ, batch=2)
+    loaded = torch.jit.load(str(path))
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_dec = loaded(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = model.apply(variables, jnp.asarray(x), False)
+    j_dec = np.asarray(decode(j_out, meta.anchors_px, meta.strides))
+    np.testing.assert_allclose(t_dec[..., :4], j_dec[..., :4], atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(t_dec[..., 4:], j_dec[..., 4:], atol=2e-4)
 
 
 def test_flagship_somi_decoded_parity_and_export(tmp_path):

@@ -132,6 +132,33 @@ def export_onnx(
     return tmodel, missing
 
 
+def export_torchscript(
+    cfg: dict,
+    meta,
+    variables: dict,
+    path: str,
+    imgsz: int = 640,
+    batch: int = 1,
+    decode: bool = True,
+):
+    """TorchScript export via the same mirror (reference export.py:50-63).
+    Fully executable on this image — tests load the artifact back and
+    assert box parity against the flax model."""
+    import torch
+
+    from yolosomi_tpu.utils.torch_mirror import build_torch_mirror
+
+    tmodel = build_torch_mirror(cfg, meta, imgsz=imgsz, decode=decode)
+    sd, missing = state_dict_from_variables(variables, tmodel)
+    tmodel.load_state_dict(sd)
+    tmodel.eval()
+    x = torch.zeros(batch, 3, imgsz, imgsz)
+    with torch.no_grad():
+        ts = torch.jit.trace(tmodel, x)
+    ts.save(str(path))
+    return tmodel, missing
+
+
 # ---- schema-less protobuf wire walker ------------------------------------
 
 

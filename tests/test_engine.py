@@ -105,6 +105,31 @@ def test_checkpoint_roundtrip(tmp_path):
     assert sv["params"]["layers_0"]["cv"]["conv"]["kernel"].dtype == jnp.bfloat16
 
 
+def test_async_checkpointer_latest_wins(tmp_path):
+    """Queued saves for the same path collapse to the newest state; wait()
+    drains everything to disk (train.py's per-epoch writer)."""
+    from yolosomi_tpu.engine.checkpoint import AsyncCheckpointer
+
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=4, epochs=2, batch_size=4)
+    variables = {"params": _params(), "batch_stats": {"layers_0": {"bn": {"mean": jnp.zeros(8)}}}}
+    state = create_train_state(variables, opt)
+    w = AsyncCheckpointer()
+    p = tmp_path / "last.ckpt"
+    for epoch in range(5):
+        w.save(p, state, epoch=epoch, best_fitness=epoch / 10)
+    w.save(tmp_path / "best.ckpt", state, epoch=2, best_fitness=0.2)
+    w.close()
+    assert load_checkpoint(p)["epoch"] == 4  # stale epochs dropped or overwritten
+    assert load_checkpoint(tmp_path / "best.ckpt")["epoch"] == 2
+
+    # worker errors surface on wait(), not silently
+    w2 = AsyncCheckpointer()
+    w2.save(tmp_path / "nodir" / "x" / "y.ckpt", object())  # not a TrainState
+    with pytest.raises(Exception):
+        w2.wait()
+
+
 def test_evolve_mutation_respects_bounds(tmp_path):
     hyp = dict(DEFAULT_HYP)
     csv = tmp_path / "evolve.csv"

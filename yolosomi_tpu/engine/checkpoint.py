@@ -61,6 +61,75 @@ def load_checkpoint(path) -> dict:
     return serialization.msgpack_restore(Path(path).read_bytes())
 
 
+class AsyncCheckpointer:
+    """Background checkpoint writer (orbax-async-style, SURVEY §5.4).
+
+    Per-epoch checkpointing costs ~20 s/epoch on the tunnel runtime:
+    device_get pulls the full train state (params + momentum + EMA,
+    ~0.7 GB fp32 on the flagship) host-side and msgpack-serializes it on
+    the single host core — measured as the dominant epoch cost once the
+    val-recompile bug was fixed. Here the main loop only enqueues a
+    reference to the (immutable) device arrays; a worker thread does the
+    transfer + serialization while the TPU runs the next epoch.
+
+    Latest-wins per path: if epoch N+1's save for `last.ckpt` arrives
+    while epoch N's is still queued, N is dropped — the artifact
+    semantics ('the newest completed state') are unchanged. `wait()`
+    drains the queue (call before strip/resume/exit)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._pending: dict = {}  # path -> (args, kwargs)
+        self._event = threading.Event()
+        self._stop = False
+        self._error: Exception | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-writer")
+        self._thread.start()
+
+    def save(self, path, state, **kwargs) -> None:
+        with self._lock:
+            self._pending[str(path)] = (state, kwargs)
+        self._event.set()
+
+    def _run(self):
+        while True:
+            self._event.wait()
+            with self._lock:
+                if not self._pending:
+                    self._event.clear()
+                    if self._stop:
+                        return
+                    continue
+                path, (state, kwargs) = next(iter(self._pending.items()))
+                del self._pending[path]
+            try:
+                save_checkpoint(path, state, **kwargs)
+            except Exception as e:  # surfaced on wait()
+                self._error = e
+
+    def wait(self) -> None:
+        """Block until all queued saves hit disk; re-raise worker errors."""
+        import time as _time
+
+        while True:
+            with self._lock:
+                idle = not self._pending
+            if idle and not self._event.is_set():
+                break
+            _time.sleep(0.05)
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def close(self) -> None:
+        self.wait()
+        self._stop = True
+        self._event.set()
+        self._thread.join(timeout=5)
+
+
 def checkpoint_variables(ckpt: dict, ema: bool = True) -> dict:
     """Pick EMA weights when present, else raw model — the attempt_load
     contract (reference: experimental.py:97-101)."""

@@ -93,7 +93,8 @@ def train(hyp: dict, opt) -> float:
         cache_images=getattr(opt, "cache", False),
     )
     train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True,
-                              workers=getattr(opt, "workers", 8))
+                              workers=getattr(opt, "workers", 8),
+                              quad=getattr(opt, "quad", False))
     if getattr(opt, "sync_bn", False):
         LOGGER.info("--sync-bn: BN statistics are always global-batch under jit (SyncBN by construction)")
     nb = len(train_loader)
@@ -302,6 +303,8 @@ def parse_opt(argv=None):
     parser.add_argument("--multi-scale", action="store_true", help="quantized multi-scale training")
     parser.add_argument("--accumulate", action="store_true", help="gradient accumulation to nominal batch 64")
     parser.add_argument("--image-weights", action="store_true", help="class-error-weighted image sampling")
+    parser.add_argument("--quad", action="store_true",
+                        help="quad collate: groups of 4 -> one 2x-size image (reference collate_fn4)")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")

@@ -352,12 +352,56 @@ def collate_batch(samples, max_labels: int):
     return images, targets, list(paths), list(shapes)
 
 
+def collate_batch4(samples, max_labels: int, rng=None):
+    """Quad collate (reference collate_fn4, datasets.py:658-682 / --quad):
+    each group of 4 samples becomes ONE 2x-size image — either the first
+    image bilinear-upscaled 2x (p=0.5) or a 2x2 paste of all four — so
+    large-image training runs at batch/4 cost. Labels are normalized
+    xywh, so the upscale branch keeps them unchanged and the paste branch
+    shifts by the sub-image offset and halves.
+
+    Returns images (B/4, 2H, 2W, 3) uint8, targets (B/4, 4*max_labels, 5)."""
+    import cv2
+
+    rng = rng or np.random.default_rng()
+    imgs, labels, paths, shapes = zip(*samples)
+    n = len(imgs) // 4
+    imgs4, labels4 = [], []
+    for g in range(n):
+        i = g * 4
+        if rng.random() < 0.5:
+            h, w = imgs[i].shape[:2]
+            imgs4.append(cv2.resize(imgs[i], (2 * w, 2 * h), interpolation=cv2.INTER_LINEAR))
+            labels4.append(labels[i])
+        else:
+            # layout matches the reference's cat order: i top-left,
+            # i+1 below it (ho), i+2 right (wo), i+3 diagonal (ho+wo)
+            left = np.concatenate([imgs[i], imgs[i + 1]], axis=0)
+            right = np.concatenate([imgs[i + 2], imgs[i + 3]], axis=0)
+            imgs4.append(np.concatenate([left, right], axis=1))
+            merged = []
+            for k, (ox, oy) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                lk = np.asarray(labels[i + k], np.float32).reshape(-1, 5)
+                if len(lk):
+                    lk = lk.copy()
+                    lk[:, 1] = (lk[:, 1] + ox) * 0.5
+                    lk[:, 2] = (lk[:, 2] + oy) * 0.5
+                    lk[:, 3:5] *= 0.5
+                merged.append(lk)
+            labels4.append(np.concatenate(merged, 0))
+    from yolosomi_tpu.losses import pad_targets
+
+    targets = pad_targets(labels4, 4 * max_labels)
+    return np.stack(imgs4, 0), targets, list(paths[:n]), list(shapes[:n])
+
+
 class DataLoader:
     """Shuffling, thread-prefetched batch iterator (replaces the
     reference's InfiniteDataLoader + worker pool, datasets.py:94-155)."""
 
     def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool = False, prefetch: int = 2,
-                 drop_last: bool = False, seed: int = 0, workers: Optional[int] = None):
+                 drop_last: bool = False, seed: int = 0, workers: Optional[int] = None,
+                 quad: bool = False):
         import os as _os
 
         self.dataset = dataset
@@ -367,6 +411,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.epoch = 0
         self.seed = seed
+        self.quad = quad and batch_size % 4 == 0  # reference --quad (collate_fn4)
         self.sample_weights = None  # per-image weights (--image-weights)
         # item-level thread pool: cv2 decode/warp release the GIL, so
         # threads parallelize the per-image augmentation (the reference
@@ -404,7 +449,10 @@ class DataLoader:
                     items = list(pool.map(self.dataset.__getitem__, [int(i) for i in sel]))
                 else:
                     items = [self.dataset[int(i)] for i in sel]
-                yield collate_batch(items, self.dataset.max_labels)
+                if self.quad:
+                    yield collate_batch4(items, self.dataset.max_labels, rng)
+                else:
+                    yield collate_batch(items, self.dataset.max_labels)
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)

@@ -270,13 +270,14 @@ def train(hyp: dict, opt) -> float:
         # ~20 s/epoch on the tunnel runtime (0.7 GB device_get + msgpack
         # on one host core).
         if not getattr(opt, "nosave", False) or epoch == final_epoch:
-            ckpt_writer.save(last, state, epoch=epoch, best_fitness=best_fitness)
+            paths = [last]
             if fi == best_fitness:
-                ckpt_writer.save(best, state, epoch=epoch, best_fitness=best_fitness)
+                paths.append(best)
             sp = getattr(opt, "save_period", -1)
             if sp > 0 and epoch % sp == 0:
-                ckpt_writer.save(last.parent / f"epoch{epoch}.ckpt", state,
-                                 epoch=epoch, best_fitness=best_fitness)
+                paths.append(last.parent / f"epoch{epoch}.ckpt")
+            # one snapshot + one blob for all targets of this epoch
+            ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness)
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")

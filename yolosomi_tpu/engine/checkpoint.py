@@ -29,14 +29,12 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(
-    path,
-    state,
-    epoch: int = -1,
-    best_fitness: float = 0.0,
-    meta_dict: Optional[dict] = None,
-    include_optimizer: bool = True,
-) -> None:
+def build_checkpoint_payload(
+    state, epoch: int = -1, best_fitness: float = 0.0, include_optimizer: bool = True
+) -> dict:
+    """Pull the train state host-side into the checkpoint dict layout.
+    This is the device->host transfer half of a save; serialization and
+    disk writes can then run without touching device memory."""
     payload = {
         "epoch": epoch,
         "best_fitness": best_fitness,
@@ -50,11 +48,35 @@ def save_checkpoint(
     if include_optimizer:
         # to_state_dict flattens NamedTuple optimizer states into plain dicts
         payload["opt_state"] = serialization.to_state_dict(_to_host(state.opt_state))
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.msgpack_serialize(payload))
-    if meta_dict is not None:
-        path.with_suffix(".json").write_text(json.dumps(meta_dict, default=str, indent=1))
+    return payload
+
+
+def write_checkpoint_payload(paths, payload: dict, meta_dict: Optional[dict] = None) -> None:
+    """Serialize once, write the same blob to every path."""
+    if isinstance(paths, (str, Path)):
+        paths = [paths]
+    blob = serialization.msgpack_serialize(payload)
+    for path in paths:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(blob)
+        if meta_dict is not None:
+            path.with_suffix(".json").write_text(json.dumps(meta_dict, default=str, indent=1))
+
+
+def save_checkpoint(
+    path,
+    state,
+    epoch: int = -1,
+    best_fitness: float = 0.0,
+    meta_dict: Optional[dict] = None,
+    include_optimizer: bool = True,
+) -> None:
+    write_checkpoint_payload(
+        path,
+        build_checkpoint_payload(state, epoch, best_fitness, include_optimizer),
+        meta_dict=meta_dict,
+    )
 
 
 def load_checkpoint(path) -> dict:
@@ -64,33 +86,66 @@ def load_checkpoint(path) -> dict:
 class AsyncCheckpointer:
     """Background checkpoint writer (orbax-async-style, SURVEY §5.4).
 
-    Per-epoch checkpointing costs ~20 s/epoch on the tunnel runtime:
-    device_get pulls the full train state (params + momentum + EMA,
-    ~0.7 GB fp32 on the flagship) host-side and msgpack-serializes it on
-    the single host core — measured as the dominant epoch cost once the
-    val-recompile bug was fixed. Here the main loop only enqueues a
-    reference to the (immutable) device arrays; a worker thread does the
-    transfer + serialization while the TPU runs the next epoch.
+    Synchronous per-epoch checkpointing costs ~20-40 s/epoch on the
+    tunnel runtime: device_get pulls the full train state (params +
+    momentum + EMA, 805 MB fp32 measured on the flagship) at the
+    tunnel's ~40 MB/s, then msgpack-serializes (~12 s) and writes (~8 s)
+    on the single host core. The writer moves all of that off the
+    training loop's critical path — with one hardware constraint:
 
-    Latest-wins per path: if epoch N+1's save for `last.ckpt` arrives
-    while epoch N's is still queued, N is dropped — the artifact
-    semantics ('the newest completed state') are unchanged. `wait()`
-    drains the queue (call before strip/resume/exit)."""
+    Holding a reference to the device state while the next epoch runs
+    keeps an extra full state resident in HBM; on the flagship at
+    640px b24 that +805 MB OOM'd the chip (observed). The tunnel
+    backend exposes no memory_stats() to gate on, so retention is
+    capped by `max_hold_bytes`: states larger than the cap have their
+    device->host transfer done synchronously in save() (zero extra HBM;
+    the caller pays only the transfer), and only serialization + disk
+    writes run in the worker. Smaller states go fully async.
 
-    def __init__(self):
+    save() takes one or many paths — one snapshot, one msgpack blob,
+    N file writes — so the reference's every-epoch last+best pair costs
+    one transfer, not two. Latest-wins per path group: if epoch N+1's
+    save arrives while N's is still queued, N is dropped ('newest
+    completed state' semantics unchanged). `wait()` drains the queue
+    (call before strip/resume/exit)."""
+
+    def __init__(self, max_hold_bytes: int = 256 * 1024 * 1024):
         import threading
 
+        self.max_hold_bytes = max_hold_bytes
         self._lock = threading.Lock()
-        self._pending: dict = {}  # path -> (args, kwargs)
+        self._pending: dict = {}  # key -> thunk() -> None
         self._event = threading.Event()
         self._stop = False
         self._error: Exception | None = None
         self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-writer")
         self._thread.start()
 
-    def save(self, path, state, **kwargs) -> None:
+    @staticmethod
+    def _state_bytes(state) -> int:
+        return sum(getattr(leaf, "nbytes", 0) for leaf in jax.tree_util.tree_leaves(state))
+
+    def save(self, paths, state, meta_dict=None, **kwargs) -> None:
+        if isinstance(paths, (str, Path)):
+            paths = [paths]
+        paths = [str(p) for p in paths]
+        if self._state_bytes(state) > self.max_hold_bytes:
+            # big state: transfer now (no device memory retained), then
+            # serialize + write in the background
+            payload = build_checkpoint_payload(state, **kwargs)
+
+            def job(paths=paths, payload=payload):
+                write_checkpoint_payload(paths, payload, meta_dict=meta_dict)
+
+        else:
+
+            def job(paths=paths, state=state, kwargs=kwargs):
+                write_checkpoint_payload(
+                    paths, build_checkpoint_payload(state, **kwargs), meta_dict=meta_dict
+                )
+
         with self._lock:
-            self._pending[str(path)] = (state, kwargs)
+            self._pending[tuple(paths)] = job
         self._event.set()
 
     def _run(self):
@@ -102,10 +157,10 @@ class AsyncCheckpointer:
                     if self._stop:
                         return
                     continue
-                path, (state, kwargs) = next(iter(self._pending.items()))
-                del self._pending[path]
+                key, job = next(iter(self._pending.items()))
+                del self._pending[key]
             try:
-                save_checkpoint(path, state, **kwargs)
+                job()
             except Exception as e:  # surfaced on wait()
                 self._error = e
 

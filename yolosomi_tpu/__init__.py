@@ -16,3 +16,30 @@ isxml/YOLO-SOMI reference (YOLOv5-family drone-imagery detector):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, on by default (opt out with
+    YOLOSOMI_COMPILE_CACHE=0; override dir with YOLOSOMI_COMPILE_CACHE=<path>).
+
+    First flagship train-step compile costs ~20 min on the remote-compile
+    tunnel runtime; with the cache a process restart (resume, evolve
+    generations, CLI re-runs) replays the serialized executable in
+    seconds (verified cross-process on the tunnel backend)."""
+    import os
+
+    setting = os.environ.get("YOLOSOMI_COMPILE_CACHE", "")
+    if setting == "0":
+        return
+    path = setting if setting not in ("", "1") else os.path.expanduser(
+        "~/.cache/yolosomi_tpu/xla-cache"
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # jax absent or too old: cache is best-effort
+        pass
+
+
+_enable_compile_cache()

@@ -216,6 +216,7 @@ def train(hyp: dict, opt) -> float:
     final_epoch = start_epoch
     maps = np.zeros(nc)  # per-class mAP for image-weight sampling
     ckpt_writer = AsyncCheckpointer()
+    prev_best_fitness = best_fitness
     for epoch in range(start_epoch, opt.epochs):
         final_epoch = epoch
         mloss = np.zeros(3)
@@ -270,14 +271,23 @@ def train(hyp: dict, opt) -> float:
         # ~20 s/epoch on the tunnel runtime (0.7 GB device_get + msgpack
         # on one host core).
         if not getattr(opt, "nosave", False) or epoch == final_epoch:
-            paths = [last]
-            if fi == best_fitness:
-                paths.append(best)
-            sp = getattr(opt, "save_period", -1)
-            if sp > 0 and epoch % sp == 0:
-                paths.append(last.parent / f"epoch{epoch}.ckpt")
-            # one snapshot + one blob for all targets of this epoch
-            ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness)
+            # --ckpt-period N thins last/best to every N epochs + strict
+            # fitness improvements + the final epoch. On the tunnel
+            # runtime the mandatory device->host transfer of the 805 MB
+            # state runs at ~10-40 MB/s, so every-epoch saves (reference
+            # semantics, the default) cost 20-90 s/epoch there.
+            cp = max(getattr(opt, "ckpt_period", 1), 1)
+            improved = fi > prev_best_fitness
+            prev_best_fitness = max(prev_best_fitness, fi)
+            if epoch % cp == 0 or improved or epoch == final_epoch or epoch == opt.epochs - 1:
+                paths = [last]
+                if fi == best_fitness:
+                    paths.append(best)
+                sp = getattr(opt, "save_period", -1)
+                if sp > 0 and epoch % sp == 0:
+                    paths.append(last.parent / f"epoch{epoch}.ckpt")
+                # one snapshot + one blob for all targets of this epoch
+                ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness)
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
@@ -328,6 +338,9 @@ def parse_opt(argv=None):
     parser.add_argument("--no-bf16", action="store_true")
     parser.add_argument("--freeze", type=int, default=0,
                         help="freeze the first N layers (reference train.py --freeze)")
+    parser.add_argument("--ckpt-period", type=int, default=1,
+                        help="save last/best every N epochs (+ improvements and final); "
+                             "1 = reference every-epoch semantics")
     parser.add_argument("--save-period", type=int, default=-1,
                         help="also save a checkpoint every N epochs")
     parser.add_argument("--nosave", action="store_true", help="only save the final checkpoint")

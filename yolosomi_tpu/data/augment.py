@@ -71,6 +71,24 @@ def hist_equalize(im: np.ndarray, clahe: bool = True, bgr: bool = True) -> np.nd
     return cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR if bgr else cv2.COLOR_YUV2RGB)
 
 
+def replicate(im: np.ndarray, labels: np.ndarray):
+    """Duplicate the smallest half of the boxes at random spots
+    (reference: augmentations.py:75-89). labels: (n, 5) [cls, x1, y1, x2, y2]
+    pixels; returns (im, labels) with the copies appended."""
+    h, w = im.shape[:2]
+    boxes = labels[:, 1:].astype(int)
+    x1, y1, x2, y2 = boxes.T
+    s = ((x2 - x1) + (y2 - y1)) / 2  # side length proxy
+    for i in s.argsort()[: round(s.size * 0.5)]:  # smallest half
+        x1b, y1b, x2b, y2b = boxes[i]
+        bh, bw = y2b - y1b, x2b - x1b
+        yc, xc = int(random.uniform(0, h - bh)), int(random.uniform(0, w - bw))
+        x1a, y1a, x2a, y2a = [xc, yc, xc + bw, yc + bh]
+        im[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
+        labels = np.append(labels, [[labels[i, 0], x1a, y1a, x2a, y2a]], axis=0)
+    return im, labels
+
+
 def random_perspective(
     im: np.ndarray,
     targets: Optional[np.ndarray] = None,  # (n, 5) [cls, x1, y1, x2, y2] pixels

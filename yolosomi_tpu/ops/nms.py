@@ -256,10 +256,27 @@ def non_max_suppression(
     return jnp.where(keep_valid[..., None], out, 0.0)
 
 
-def soft_nms_scores(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5, max_det: int = 300):
+def soft_nms_scores(
+    boxes: jax.Array,
+    scores: jax.Array,
+    sigma: float = 0.5,
+    max_det: int = 300,
+    iou_thresh: float = 0.3,
+    ciou: bool = True,
+):
     """Gaussian soft-NMS score decay (reference: general.py:834-862,
     available-but-unwired there; provided for parity). Returns decayed
-    scores aligned with input order."""
+    scores aligned with input order; the kept set at a score threshold t
+    equals the reference's keep list for score-sorted inputs
+    (oracle-checked in tests/test_reference_oracle2.py).
+
+    Reference semantics reproduced exactly: overlap is CIoU
+    (box_iou_for_nms(..., CIoU=True), general.py:846) and only boxes with
+    overlap > `iou_thresh` are decayed (general.py:848-852)."""
+    from yolosomi_tpu.utils.iou import bbox_iou
+
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(scores)
     K = boxes.shape[0]
 
     def body(i, state):
@@ -267,9 +284,13 @@ def soft_nms_scores(boxes: jax.Array, scores: jax.Array, sigma: float = 0.5, max
         j = jnp.argmax(scores_live)
         s = scores_live[j]
         final = final.at[j].set(s)
-        iou = _iou_row(boxes[j], boxes)
+        if ciou:
+            iou = bbox_iou(boxes[j][None, :], boxes, xywh=False, CIoU=True)
+            iou = jnp.reshape(iou, (K,))
+        else:
+            iou = _iou_row(boxes[j], boxes)
         decay = jnp.exp(-(iou**2) / sigma)
-        scores_live = scores_live * jnp.where(iou > 0, decay, 1.0)
+        scores_live = scores_live * jnp.where(iou > iou_thresh, decay, 1.0)
         scores_live = scores_live.at[j].set(0.0)
         return scores_live, final
 

@@ -139,6 +139,40 @@ def letterbox_params(shape, new_shape=(640, 640), scaleup=True, stride=32, auto=
     return ratio, new_unpad, (dw / 2, dh / 2)
 
 
+def segment2box(segment, width=640, height=640):
+    """Polygon -> xyxy box of its inside-canvas points (reference:
+    general.py:578-583)."""
+    x, y = segment.T
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    return (
+        np.array([x.min(), y.min(), x.max(), y.max()]) if any(x) else np.zeros((1, 4))
+    )
+
+
+def segments2boxes(segments):
+    """Segment polygons -> (n, 4) xywh boxes (reference: general.py:586-592)."""
+    boxes = []
+    for s in segments:
+        x, y = s.T
+        boxes.append([x.min(), y.min(), x.max(), y.max()])
+    return xyxy2xywh(np.array(boxes))
+
+
+def resample_segments(segments, n=1000):
+    """Up-sample each (m, 2) polygon to n points by linear interpolation
+    (reference: general.py:595-600)."""
+    for i, s in enumerate(segments):
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        segments[i] = (
+            np.concatenate([np.interp(x, xp, s[:, j]) for j in range(2)])
+            .reshape(2, -1)
+            .T
+        )
+    return segments
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
     """Filter augmented boxes: min size, area ratio, aspect ratio
     (reference: augmentations.py:313-318). box1 = before aug (4,n),

@@ -210,12 +210,25 @@ def train(hyp: dict, opt) -> float:
 
     val_runner = Runner(opt.cfg, None, nc=nc, dtype=dtype, imgsz=imgsz)
     val_runner.model, val_runner.meta = model, meta
+    # build the val dataloader ONCE: val.run(dataloader=None) re-decodes,
+    # re-letterboxes and re-uploads every val image on every epoch
+    val_loader = DataLoader(
+        DetectionDataset(data_dict["val"], img_size=imgsz, batch_size=opt.batch_size,
+                         augment=False, rect=False, stride=int(max(meta.strides)), pad=0.5),
+        opt.batch_size, shuffle=False,
+    )
     results_file = save_dir / "results.csv"
 
     t0 = time.time()
     final_epoch = start_epoch
     maps = np.zeros(nc)  # per-class mAP for image-weight sampling
     ckpt_writer = AsyncCheckpointer()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # single-slot transfer thread: device_put of the next batch overlaps
+    # the current step's device execution (the tunnel upload is the
+    # train-loop bottleneck; see PERF.md round-3 loop pipelining)
+    xfer = ThreadPoolExecutor(max_workers=1)
     prev_best_fitness = best_fitness
     for epoch in range(start_epoch, opt.epochs):
         final_epoch = epoch
@@ -228,17 +241,60 @@ def train(hyp: dict, opt) -> float:
             cw = labels_to_class_weights(train_ds.labels, nc) * (1 - maps) ** 2 / nc
             train_loader.sample_weights = labels_to_image_weights(train_ds.labels, nc, cw)
         with mesh:
-            for i, (images, targets, _, _) in enumerate(train_loader):
-                batch = shard_batch({"images": images, "targets": targets}, mesh)
+            # Pipelined inner loop. Through the remote-TPU tunnel a b24
+            # 640px uint8 upload costs seconds; the naive
+            # upload -> step -> fetch-metrics sequence serializes all
+            # three (measured 12.5 s/batch vs the 0.3 s step). Overlap:
+            # a transfer thread uploads batch i+1 while the device runs
+            # step i, and metrics for batch i are fetched only AFTER
+            # step i+1 is dispatched (one-batch lag), so the host never
+            # blocks the device pipeline.
+            def _upload(item):
+                imgs, tgts, _, _ = item
+                return shard_batch({"images": imgs, "targets": tgts}, mesh)
+
+            it = iter(train_loader)
+            first = next(it, None)
+            fut = xfer.submit(_upload, first) if first is not None else None
+            pending = None  # (batch index, on-device metrics) awaiting fetch
+            n_logged = 0
+            i = 0
+            t_wait = t_disp = t_fetch = 0.0
+            while fut is not None:
+                t_a = time.time()
+                batch = fut.result()
+                nxt = next(it, None)
+                fut = xfer.submit(_upload, nxt) if nxt is not None else None
+                t_b = time.time()
                 step_fn = train_steps[_random.choice(list(train_steps))]
                 state, metrics = step_fn(state, batch["images"], batch["targets"])
-                if i % max(nb // 10, 1) == 0:
-                    m = jax.device_get(metrics)
-                    mloss = (mloss * i + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (i + 1)
+                t_c = time.time()
+                t_wait += t_b - t_a
+                t_disp += t_c - t_b
+                if pending is not None:
+                    j, pm = pending
+                    m = jax.device_get(pm)
+                    mloss = (mloss * n_logged + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (n_logged + 1)
+                    n_logged += 1
                     LOGGER.info(
-                        f"epoch {epoch}/{opt.epochs - 1} batch {i}/{nb} "
+                        f"epoch {epoch}/{opt.epochs - 1} batch {j}/{nb} "
                         f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
                     )
+                t_fetch += time.time() - t_c
+                pending = (i, metrics) if i % max(nb // 10, 1) == 0 else None
+                i += 1
+            LOGGER.info(
+                f"epoch {epoch} loop: upload-wait {t_wait:.1f}s dispatch {t_disp:.1f}s "
+                f"metric-fetch {t_fetch:.1f}s"
+            )
+            if pending is not None:
+                j, pm = pending
+                m = jax.device_get(pm)
+                mloss = (mloss * n_logged + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (n_logged + 1)
+                LOGGER.info(
+                    f"epoch {epoch}/{opt.epochs - 1} batch {j}/{nb} "
+                    f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
+                )
 
         # per-epoch val with EMA weights (reference: train.py:291-303)
         results = (0, 0, 0, 0, 0, 0, 0)
@@ -252,11 +308,11 @@ def train(hyp: dict, opt) -> float:
             results, maps, _ = validate.run(
                 data_dict, batch_size=opt.batch_size, imgsz=imgsz, runner=val_runner,
                 project=str(save_dir), name="val", exist_ok=True, names=names,
-                single_cls=opt.single_cls, compute_loss=loss_fn,
+                single_cls=opt.single_cls, compute_loss=loss_fn, dataloader=val_loader,
             )
         fi = fitness(np.array(results[:4]))
         with open(results_file, "a") as f:
-            if epoch == start_epoch:
+            if epoch == start_epoch and f.tell() == 0:
                 f.write("epoch,box,obj,cls,P,R,mAP50,mAP,fitness\n")
             f.write(
                 f"{epoch},{mloss[0]:.5f},{mloss[1]:.5f},{mloss[2]:.5f},"
@@ -294,6 +350,7 @@ def train(hyp: dict, opt) -> float:
             break
 
     ckpt_writer.close()
+    xfer.shutdown(wait=False)
     LOGGER.info(f"{final_epoch - start_epoch + 1} epochs in {(time.time() - t0) / 3600:.2f}h")
     for f in (last, best):
         if f.exists():

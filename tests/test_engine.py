@@ -105,6 +105,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert sv["params"]["layers_0"]["cv"]["conv"]["kernel"].dtype == jnp.bfloat16
 
 
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-write must never truncate an existing checkpoint: the
+    blob goes to a .tmp sibling and lands via os.replace (observed on the
+    tunnel runtime: SIGTERM during the async writer's 800 MB write left
+    last.ckpt unreadable)."""
+    from pathlib import Path
+
+    from yolosomi_tpu.engine import checkpoint as ck
+
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=4, epochs=2, batch_size=4)
+    variables = {"params": _params(), "batch_stats": {"layers_0": {"bn": {"mean": jnp.zeros(8)}}}}
+    state = create_train_state(variables, opt)
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(p, state, epoch=1)
+    good = p.read_bytes()
+    assert not list(tmp_path.glob("*.tmp"))
+
+    # crash during the second write: the original file must survive intact
+    real_write_bytes = Path.write_bytes
+
+    def dying_write(self, blob):
+        real_write_bytes(self, blob[: len(blob) // 2])
+        raise KeyboardInterrupt("killed mid-write")
+
+    monkeypatch.setattr(Path, "write_bytes", dying_write)
+    with pytest.raises(KeyboardInterrupt):
+        ck.save_checkpoint(p, state, epoch=2)
+    monkeypatch.setattr(Path, "write_bytes", real_write_bytes)
+    assert p.read_bytes() == good
+    assert load_checkpoint(p)["epoch"] == 1
+
+
 def test_async_checkpointer_latest_wins(tmp_path):
     """Queued saves for the same path collapse to the newest state; wait()
     drains everything to disk (train.py's per-epoch writer)."""

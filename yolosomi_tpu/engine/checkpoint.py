@@ -15,6 +15,7 @@ model, optimizer dropped, weights cast to bf16.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -59,7 +60,12 @@ def write_checkpoint_payload(paths, payload: dict, meta_dict: Optional[dict] = N
     for path in paths:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_bytes(blob)
+        # atomic replace: a kill mid-write must never truncate an
+        # existing checkpoint (observed: a SIGTERM during the async
+        # writer's 800 MB write left last.ckpt unreadable)
+        tmp = path.with_name(path.name + ".tmp")
+        tmp.write_bytes(blob)
+        os.replace(tmp, path)
         if meta_dict is not None:
             path.with_suffix(".json").write_text(json.dumps(meta_dict, default=str, indent=1))
 

@@ -13,6 +13,7 @@ pinning (train.py:55), forced Adam (train.py:134-136), wandb force-off
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from pathlib import Path
 
@@ -81,6 +82,26 @@ def train(hyp: dict, opt) -> float:
     hyp["cls"] *= nc / 80.0 * 3.0 / nl
     hyp["obj"] *= (imgsz / 640) ** 2 * 3.0 / nl
 
+    cache_mode = getattr(opt, "cache", "") or ""
+    device_cache = cache_mode == "device"
+    if device_cache:
+        # --cache device: the whole train split lives in HBM; the host only
+        # plans randomness. mosaic/perspective/mixup pixels are built on
+        # device (ops/mosaic_device.py), HSV/flips run in the train step, so
+        # the only host pipeline left is label geometry. Incompatible planes
+        # fall back to host loading with a warning.
+        blockers = [
+            k for k, on in (
+                ("rect", opt.rect), ("quad", getattr(opt, "quad", False)),
+                ("copy_paste", hyp.get("copy_paste", 0.0) > 0),
+            ) if on
+        ]
+        if blockers:
+            LOGGER.warning(f"--cache device does not support {blockers}; using host pipeline")
+            device_cache = False
+        else:
+            opt.device_preprocess = True
+
     ds_hyp = dict(hyp)
     if opt.device_preprocess:
         # HSV + flips move into the jitted train step (ops/preprocess.py);
@@ -90,11 +111,11 @@ def train(hyp: dict, opt) -> float:
     train_ds = DetectionDataset(
         data_dict["train"], img_size=imgsz, batch_size=opt.batch_size, augment=True,
         hyp=ds_hyp, rect=opt.rect, stride=int(max(meta.strides)), max_labels=opt.max_labels,
-        cache_images=getattr(opt, "cache", False),
+        cache_images=cache_mode == "ram",
     )
     train_loader = DataLoader(train_ds, opt.batch_size, shuffle=not opt.rect, drop_last=True,
                               workers=getattr(opt, "workers", 8),
-                              quad=getattr(opt, "quad", False))
+                              quad=getattr(opt, "quad", False), plan=device_cache)
     if getattr(opt, "sync_bn", False):
         LOGGER.info("--sync-bn: BN statistics are always global-batch under jit (SyncBN by construction)")
     nb = len(train_loader)
@@ -188,7 +209,8 @@ def train(hyp: dict, opt) -> float:
         train_steps = {
             s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate,
                                device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
-                               freeze=getattr(opt, "freeze", 0))
+                               freeze=getattr(opt, "freeze", 0),
+                               device_mosaic=imgsz if device_cache else None)
             for s in sizes
         }
         LOGGER.info(f"multi-scale sizes: {sizes}")
@@ -196,11 +218,22 @@ def train(hyp: dict, opt) -> float:
         train_steps = {imgsz: make_train_step(
             model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate,
             device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
-            freeze=getattr(opt, "freeze", 0))}
+            freeze=getattr(opt, "freeze", 0),
+            device_mosaic=imgsz if device_cache else None)}
     import random as _random
 
     with mesh:
         state = replicate_tree(state, mesh)
+
+    image_cache = None
+    if device_cache:
+        from yolosomi_tpu.ops.mosaic_device import build_device_cache
+
+        slab, _ = build_device_cache(train_ds)
+        LOGGER.info(f"--cache device: uploading {slab.nbytes / 1e9:.2f} GB train slab to HBM")
+        with mesh:
+            image_cache = replicate_tree(slab, mesh)
+        del slab
 
     stopper = EarlyStopping(patience=opt.patience)
     LOGGER.info(
@@ -223,6 +256,24 @@ def train(hyp: dict, opt) -> float:
     final_epoch = start_epoch
     maps = np.zeros(nc)  # per-class mAP for image-weight sampling
     ckpt_writer = AsyncCheckpointer()
+    if os.environ.get("TRAIN_WATCHDOG"):
+        # stall localizer: dump the main thread's stack periodically
+        import sys
+        import threading
+        import traceback
+
+        main_id = threading.get_ident()
+
+        def _watch():
+            while True:
+                time.sleep(15)
+                frame = sys._current_frames().get(main_id)
+                if frame is not None:
+                    stack = traceback.extract_stack(frame)
+                    top = " <- ".join(f"{Path(s.filename).name}:{s.lineno}({s.name})" for s in stack[-4:])
+                    LOGGER.info(f"[watchdog] main at {top}")
+
+        threading.Thread(target=_watch, daemon=True, name="watchdog").start()
     from concurrent.futures import ThreadPoolExecutor
 
     # single-slot transfer thread: device_put of the next batch overlaps
@@ -253,9 +304,11 @@ def train(hyp: dict, opt) -> float:
                 imgs, tgts, _, _ = item
                 return shard_batch({"images": imgs, "targets": tgts}, mesh)
 
+            t_pre0 = time.time()
             it = iter(train_loader)
             first = next(it, None)
             fut = xfer.submit(_upload, first) if first is not None else None
+            t_pre = time.time() - t_pre0
             pending = None  # (batch index, on-device metrics) awaiting fetch
             n_logged = 0
             i = 0
@@ -267,7 +320,8 @@ def train(hyp: dict, opt) -> float:
                 fut = xfer.submit(_upload, nxt) if nxt is not None else None
                 t_b = time.time()
                 step_fn = train_steps[_random.choice(list(train_steps))]
-                state, metrics = step_fn(state, batch["images"], batch["targets"])
+                imgs_arg = (image_cache, batch["images"]) if device_cache else batch["images"]
+                state, metrics = step_fn(state, imgs_arg, batch["targets"])
                 t_c = time.time()
                 t_wait += t_b - t_a
                 t_disp += t_c - t_b
@@ -283,10 +337,7 @@ def train(hyp: dict, opt) -> float:
                 t_fetch += time.time() - t_c
                 pending = (i, metrics) if i % max(nb // 10, 1) == 0 else None
                 i += 1
-            LOGGER.info(
-                f"epoch {epoch} loop: upload-wait {t_wait:.1f}s dispatch {t_disp:.1f}s "
-                f"metric-fetch {t_fetch:.1f}s"
-            )
+            t_fin0 = time.time()
             if pending is not None:
                 j, pm = pending
                 m = jax.device_get(pm)
@@ -295,8 +346,14 @@ def train(hyp: dict, opt) -> float:
                     f"epoch {epoch}/{opt.epochs - 1} batch {j}/{nb} "
                     f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
                 )
+            LOGGER.info(
+                f"epoch {epoch} loop: first-batch {t_pre:.1f}s upload-wait {t_wait:.1f}s "
+                f"dispatch {t_disp:.1f}s metric-fetch {t_fetch:.1f}s "
+                f"final-fetch {time.time() - t_fin0:.1f}s"
+            )
 
         # per-epoch val with EMA weights (reference: train.py:291-303)
+        t_val0 = time.time()
         results = (0, 0, 0, 0, 0, 0, 0)
         if not opt.noval or epoch == opt.epochs - 1:
             # EMA weights stay on device: a host round trip here moves the
@@ -310,6 +367,7 @@ def train(hyp: dict, opt) -> float:
                 project=str(save_dir), name="val", exist_ok=True, names=names,
                 single_cls=opt.single_cls, compute_loss=loss_fn, dataloader=val_loader,
             )
+        LOGGER.info(f"epoch {epoch} val total {time.time() - t_val0:.1f}s")
         fi = fitness(np.array(results[:4]))
         with open(results_file, "a") as f:
             if epoch == start_epoch and f.tell() == 0:
@@ -335,7 +393,11 @@ def train(hyp: dict, opt) -> float:
             cp = max(getattr(opt, "ckpt_period", 1), 1)
             improved = fi > prev_best_fitness
             prev_best_fitness = max(prev_best_fitness, fi)
-            if epoch % cp == 0 or improved or epoch == final_epoch or epoch == opt.epochs - 1:
+            # NOTE: `epoch == final_epoch` must NOT appear here — final_epoch
+            # tracks the current epoch, so it would save every epoch and (for
+            # >max_hold_bytes states) stall the loop on a synchronous full-
+            # state transfer each time (observed: ~100 s/epoch on the tunnel)
+            if epoch % cp == 0 or improved or epoch == opt.epochs - 1:
                 paths = [last]
                 if fi == best_fitness:
                     paths.append(best)
@@ -347,6 +409,8 @@ def train(hyp: dict, opt) -> float:
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
+            if not getattr(opt, "nosave", False):
+                ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness)
             break
 
     ckpt_writer.close()
@@ -401,7 +465,9 @@ def parse_opt(argv=None):
     parser.add_argument("--save-period", type=int, default=-1,
                         help="also save a checkpoint every N epochs")
     parser.add_argument("--nosave", action="store_true", help="only save the final checkpoint")
-    parser.add_argument("--cache", action="store_true", help="cache images in RAM")
+    parser.add_argument("--cache", type=str, nargs="?", const="ram", default="",
+                        help="image cache: ram (host, reference --cache ram) or "
+                             "device (HBM slab + on-device mosaic/perspective/mixup)")
     parser.add_argument("--workers", type=int, default=8,
                         help="loader worker threads (reference --workers)")
     parser.add_argument("--sync-bn", action="store_true",

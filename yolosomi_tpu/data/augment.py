@@ -104,12 +104,39 @@ def random_perspective(
     matrix then filtered by box_candidates."""
     if targets is None:
         targets = np.zeros((0, 5), np.float32)
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
+    M, s, width, height = perspective_params(
+        im.shape[0], im.shape[1], degrees=degrees, translate=translate, scale=scale,
+        shear=shear, perspective=perspective, border=border,
+    )
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+    return im, warp_labels(targets, M, s, width, height, perspective)
+
+
+def perspective_params(
+    h_in: int,
+    w_in: int,
+    degrees: float = 10,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+):
+    """Sample random_perspective's 3x3 matrix without touching pixels
+    (same draw order as the reference, augmentations.py:134-160).
+    Returns (M, scale_drawn, out_width, out_height) — the image warp is
+    cv2.warpAffine/Perspective with M, or on device an inverse warp with
+    np.linalg.inv(M) (ops/mosaic_device.py)."""
+    height = h_in + border[0] * 2
+    width = w_in + border[1] * 2
 
     C = np.eye(3)
-    C[0, 2] = -im.shape[1] / 2
-    C[1, 2] = -im.shape[0] / 2
+    C[0, 2] = -w_in / 2
+    C[1, 2] = -h_in / 2
 
     P = np.eye(3)
     P[2, 0] = random.uniform(-perspective, perspective)
@@ -129,12 +156,12 @@ def random_perspective(
     T[1, 2] = random.uniform(0.5 - translate, 0.5 + translate) * height
 
     M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
-        else:
-            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+    return M, s, width, height
 
+
+def warp_labels(targets, M, s, width, height, perspective: float = 0.0):
+    """Warp (n, 5) [cls, x1, y1, x2, y2] boxes through M + box_candidates
+    filter (the label half of random_perspective)."""
     n = len(targets)
     if n:
         xy = np.ones((n * 4, 3))
@@ -151,7 +178,7 @@ def random_perspective(
         )
         targets = targets[keep]
         targets[:, 1:5] = new[keep]
-    return im, targets
+    return targets
 
 
 def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray, labels2: np.ndarray):

@@ -29,7 +29,7 @@ import cv2
 import numpy as np
 
 from yolosomi_tpu.data import augment as A
-from yolosomi_tpu.utils.boxes import xywhn2xyxy, xyxy2xywhn
+from yolosomi_tpu.utils.boxes import letterbox_params, xywhn2xyxy, xyxy2xywhn
 from yolosomi_tpu.utils.general import LOGGER
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp")
@@ -341,6 +341,133 @@ class DetectionDataset:
         return np.ascontiguousarray(img), labels.astype(np.float32), self.img_files[index], shapes
 
 
+    def resized_hw(self, i: int):
+        """(h, w) of image i after load_image's long-side resize — analytic
+        from the cached shapes, no pixel load (device-cache planning)."""
+        w0, h0 = self.shapes[i]
+        r = self.img_size / max(h0, w0)
+        return (int(h0 * r), int(w0 * r)) if r != 1 else (int(h0), int(w0))
+
+    def _plan_mosaic(self, index: int):
+        """load_mosaic's geometry with no pixel work (identical draw order,
+        so a seeded plan matches a seeded load_mosaic label-for-label).
+        Returns (idx4, center, offs, srect, minv, labels_xyxy)."""
+        s = self.img_size
+        hyp = self.hyp
+        yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
+        indices = [index] + random.choices(list(self.indices), k=3)
+        random.shuffle(indices)
+        labels4 = []
+        offs = np.zeros((4, 2), np.float32)
+        srect = np.zeros((4, 4), np.float32)
+        for i, idx in enumerate(indices):
+            h, w = self.resized_hw(idx)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            padw, padh = x1a - x1b, y1a - y1b
+            offs[i] = (padw, padh)
+            srect[i] = (x1b, y1b, x2b, y2b)
+            labels = self.labels[idx].copy()
+            if labels.size:
+                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], w, h, padw, padh))
+            labels4.append(labels)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
+        labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+        M, sc, width, height = A.perspective_params(
+            2 * s, 2 * s,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=self.mosaic_border,
+        )
+        labels4 = A.warp_labels(labels4, M, sc, width, height, hyp.get("perspective", 0.0))
+        return (
+            np.asarray(indices, np.int32), np.asarray([xc, yc], np.float32),
+            offs, srect, np.linalg.inv(M).astype(np.float32), labels4,
+        )
+
+    def _plan_letterbox(self, index: int):
+        """The non-mosaic __getitem__ branch as a single-tile plan."""
+        h, w = self.resized_hw(index)
+        ratio, _, (dw, dh) = letterbox_params(
+            (h, w), self.img_size, scaleup=self.augment, auto=False
+        )
+        top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+        labels = self.labels[index].copy()
+        if labels.size:
+            labels[:, 1:] = np.asarray(
+                xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, padw=dw, padh=dh)
+            )
+        hyp = self.hyp
+        M, sc, width, height = A.perspective_params(
+            self.img_size, self.img_size,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=(0, 0),
+        )
+        labels = A.warp_labels(labels, M, sc, width, height, hyp.get("perspective", 0.0))
+        idx4 = np.full(4, index, np.int32)
+        center = np.asarray([1e9, 1e9], np.float32)  # tile 0 owns every pixel
+        offs = np.zeros((4, 2), np.float32)
+        offs[0] = (left, top)
+        srect = np.zeros((4, 4), np.float32)
+        srect[0] = (0, 0, w, h)
+        return idx4, center, offs, srect, np.linalg.inv(M).astype(np.float32), labels
+
+    def plan_item(self, index: int):
+        """__getitem__ for the device-cache path: every random draw and all
+        label geometry happen here on the host (same draw order as
+        __getitem__, minus pixels); the device builds the pixels from the
+        HBM-cached slab (ops/mosaic_device.py). HSV + flips run on device
+        inside the train step (ops/preprocess.py), so they are not drawn
+        here. Returns (plan, labels_xywhn, path, None)."""
+        hyp = self.hyp
+        use_mosaic = self.mosaic and random.random() < hyp.get("mosaic", 0.0)
+        if use_mosaic:
+            idx4, center, offs, srect, minv, labels = self._plan_mosaic(index)
+        else:
+            idx4, center, offs, srect, minv, labels = self._plan_letterbox(index)
+        mixw = 1.0
+        second = (idx4, center, offs, srect, minv)
+        if use_mosaic and random.random() < hyp.get("mixup", 0.0):
+            i2, c2, o2, r2, m2, labels2 = self._plan_mosaic(random.randint(0, self.n - 1))
+            second = (i2, c2, o2, r2, m2)
+            mixw = float(np.random.beta(32.0, 32.0))
+            labels = np.concatenate([labels, labels2], 0)
+        if len(labels):
+            labels = labels.copy()
+            labels[:, 1:5] = np.asarray(
+                xyxy2xywhn(labels[:, 1:5], w=self.img_size, h=self.img_size, clip=True, eps=1e-3)
+            )
+        plan = {
+            "idx": np.stack([idx4, second[0]], 0),
+            "center": np.stack([center, second[1]], 0),
+            "offs": np.stack([offs, second[2]], 0),
+            "srect": np.stack([srect, second[3]], 0),
+            "minv": np.stack([minv, second[4]], 0),
+            "mixw": np.float32(mixw),
+        }
+        return plan, labels.astype(np.float32), self.img_files[index], None
+
+
+def collate_plan_batch(samples, max_labels: int):
+    """Stack plan samples: plan dict of (B, 2, ...) arrays + padded targets."""
+    plans, labels, paths, shapes = zip(*samples)
+    from yolosomi_tpu.losses import pad_targets
+
+    batch_plan = {k: np.stack([p[k] for p in plans], 0) for k in plans[0]}
+    return batch_plan, pad_targets(list(labels), max_labels), list(paths), list(shapes)
+
+
 def collate_batch(samples, max_labels: int):
     """Stack a list of dataset samples into fixed-shape arrays:
     images (B,H,W,3) uint8, targets (B,max_labels,5) cls=-1-padded."""
@@ -401,7 +528,7 @@ class DataLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int, shuffle: bool = False, prefetch: int = 2,
                  drop_last: bool = False, seed: int = 0, workers: Optional[int] = None,
-                 quad: bool = False):
+                 quad: bool = False, plan: bool = False):
         import os as _os
 
         self.dataset = dataset
@@ -412,6 +539,7 @@ class DataLoader:
         self.epoch = 0
         self.seed = seed
         self.quad = quad and batch_size % 4 == 0  # reference --quad (collate_fn4)
+        self.plan = plan  # device-cache mode: yield randomness plans, not pixels
         self.sample_weights = None  # per-image weights (--image-weights)
         # item-level thread pool: cv2 decode/warp release the GIL, so
         # threads parallelize the per-image augmentation (the reference
@@ -445,11 +573,16 @@ class DataLoader:
                 if len(sel) < self.batch_size and not self.dataset.rect:
                     # pad the final batch by wrapping (fixed shapes for jit)
                     sel = np.concatenate([sel, idx[: self.batch_size - len(sel)]])
-                if pool is not None:
-                    items = list(pool.map(self.dataset.__getitem__, [int(i) for i in sel]))
+                getter = self.dataset.plan_item if self.plan else self.dataset.__getitem__
+                if pool is not None and not self.plan:
+                    # plans are pure-python random draws: keep them on one
+                    # thread for determinism (they do no pixel work anyway)
+                    items = list(pool.map(getter, [int(i) for i in sel]))
                 else:
-                    items = [self.dataset[int(i)] for i in sel]
-                if self.quad:
+                    items = [getter(int(i)) for i in sel]
+                if self.plan:
+                    yield collate_plan_batch(items, self.dataset.max_labels)
+                elif self.quad:
                     yield collate_batch4(items, self.dataset.max_labels, rng)
                 else:
                     yield collate_batch(items, self.dataset.max_labels)

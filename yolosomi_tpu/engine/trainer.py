@@ -52,6 +52,7 @@ def make_train_step(
     donate: bool = False,
     device_preprocess: Optional[dict] = None,
     freeze: int = 0,
+    device_mosaic: Optional[int] = None,
 ):
     """Build the jitted train step.
 
@@ -63,9 +64,23 @@ def make_train_step(
     random +-50% factor, train.py:257-262; here the trainer pre-builds one
     program per quantized size and picks per batch, labels are
     normalized so they need no adjustment).
+
+    `device_mosaic`: output size of the --cache device path. The step's
+    image argument becomes (cache, plan) — the HBM-resident dataset slab
+    plus the host randomness plan — and the mosaic/perspective/mixup
+    composite runs on device (ops/mosaic_device.py) fused into the step.
     """
 
+    def _build_images(images):
+        if device_mosaic is None:
+            return images
+        from yolosomi_tpu.ops.mosaic_device import mosaic_mixup_batch
+
+        cache, plan = images
+        return mosaic_mixup_batch(cache, plan, device_mosaic)
+
     def train_step(state: TrainState, images, targets):
+        images = _build_images(images)
         if device_preprocess is not None:
             # fused on-device HSV + flips (+normalize), replacing the host
             # augmentation tail (SURVEY §7.1; building blocks in
@@ -181,9 +196,21 @@ def make_train_step(
     # the in-place update memory savings.
     donate_argnums = (0,) if donate else ()
     if mesh is not None:
+        if device_mosaic is not None:
+            # (cache replicated, plan batch-sharded per leaf)
+            images_sharding = (
+                replicate(mesh),
+                {
+                    "idx": batch_sharding(mesh, 3), "center": batch_sharding(mesh, 3),
+                    "offs": batch_sharding(mesh, 4), "srect": batch_sharding(mesh, 4),
+                    "minv": batch_sharding(mesh, 4), "mixw": batch_sharding(mesh, 1),
+                },
+            )
+        else:
+            images_sharding = batch_sharding(mesh, 4)
         in_shardings = (
             replicate(mesh),  # state
-            batch_sharding(mesh, 4),  # images
+            images_sharding,
             batch_sharding(mesh, 3),  # targets
         )
         return jax.jit(

@@ -110,6 +110,27 @@ def test_mosaic_pixels_match_host_off_seams():
     assert (diff > 4.0).mean() < 0.02, f"pixels off: {(diff > 4.0).mean():.4f}"
 
 
+def test_windowed_gather_equals_flat_taps():
+    """The single windowed lax.gather lowering == four flat taps, incl.
+    the clamped-window edge pixels (fill compensation)."""
+    from yolosomi_tpu.ops.mosaic_device import _composite_single
+
+    ds = _dataset()
+    slab, _ = build_device_cache(ds)
+    S = ds.img_size
+    random.seed(9)
+    np.random.seed(9)
+    idx4, center, offs, srect, minv, _ = ds._plan_mosaic(1)
+    cache_flat = jnp.asarray(slab).reshape(-1, 3)
+    args = (
+        jnp.asarray(idx4)[None], jnp.asarray(minv)[None], jnp.asarray(center)[None],
+        jnp.asarray(offs)[None], jnp.asarray(srect)[None],
+    )
+    a = np.asarray(_composite_single(cache_flat, S, *args, S, windowed=False))
+    b = np.asarray(_composite_single(cache_flat, S, *args, S, windowed=True))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
+
+
 def test_plan_item_mixup_concats_labels_and_weights():
     ds = _dataset(hyp={"mixup": 1.0})
     random.seed(0)

@@ -60,7 +60,7 @@ def _pick(per_tile: jax.Array, onehot: jax.Array) -> jax.Array:
 
 
 def _composite_single(cache_flat: jax.Array, s_cache: int, idx, minv, center, offs, srect,
-                      out_size: int, windowed: bool = True):
+                      out_size: int, windowed: bool = False):
     """One mosaic composite per batch row. All plan tensors carry a
     leading batch dim: idx (B,4) i32, minv (B,3,3), center (B,2),
     offs (B,4,2) (padw,padh), srect (B,4,4) (x1b,y1b,x2b,y2b) source-space

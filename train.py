@@ -101,6 +101,11 @@ def train(hyp: dict, opt) -> float:
             device_cache = False
         else:
             opt.device_preprocess = True
+            LOGGER.info(
+                "--cache device: Albumentations plane (Blur/MedianBlur/ToGray/CLAHE) is "
+                "host-only and inactive in this mode (it is an optional plane in the "
+                "reference too — active only when the package is installed)"
+            )
 
     ds_hyp = dict(hyp)
     if opt.device_preprocess:

@@ -110,6 +110,41 @@ def test_mosaic_pixels_match_host_off_seams():
     assert (diff > 4.0).mean() < 0.02, f"pixels off: {(diff > 4.0).mean():.4f}"
 
 
+def test_letterbox_plan_handles_truncated_resize(tmp_path):
+    """load_image's int() truncation can leave the long side at S-1; the
+    plan folds the letterbox ratio into the matrix so device pixels stay
+    aligned with the (bit-exact) labels. Oracle: the host __getitem__
+    pixels for the same (mosaic-off, identity-perspective) settings."""
+    S = 128
+    rng = np.random.default_rng(4)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    # w0=161 -> r=128/161 -> int(161*r)=127 != 128 (truncates)
+    im = rng.integers(0, 255, (120, 161, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "images" / "a.jpg"), im)
+    (tmp_path / "labels" / "a.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    hyp = dict(HYP, mosaic=0.0, degrees=0.0, translate=0.0, scale=0.0, shear=0.0)
+    ds = DetectionDataset(
+        str(tmp_path / "images"), img_size=S, batch_size=1, augment=True,
+        hyp=hyp, rect=False, stride=32, max_labels=8,
+    )
+    assert ds.resized_hw(0)[1] == 127  # the truncation case under test
+
+    random.seed(0)
+    np.random.seed(0)
+    img_host, labels_host, _, _ = ds[0]
+    random.seed(0)
+    np.random.seed(0)
+    plan, labels_plan, _, _ = ds.plan_item(0)
+    np.testing.assert_allclose(labels_plan, labels_host, atol=1e-6)
+
+    slab, _ = build_device_cache(ds)
+    got = np.asarray(mosaic_mixup_batch(jnp.asarray(slab), _plan_to_batch(plan), S))[0] * 255.0
+    diff = np.abs(got - img_host.astype(np.float32))
+    assert np.median(diff) <= 1.5
+    assert (diff > 6.0).mean() < 0.02, f"pixels off: {(diff > 6.0).mean():.4f}"
+
+
 def test_windowed_gather_equals_flat_taps():
     """The single windowed lax.gather lowering == four flat taps, incl.
     the clamped-window edge pixels (fill compensation)."""

@@ -83,6 +83,10 @@ def train(hyp: dict, opt) -> float:
     hyp["obj"] *= (imgsz / 640) ** 2 * 3.0 / nl
 
     cache_mode = getattr(opt, "cache", "") or ""
+    if cache_mode is True:  # pre-round-3 opt.yaml stored --cache as a bool
+        cache_mode = "ram"
+    if cache_mode not in ("", "ram", "device"):
+        raise SystemExit(f"--cache {cache_mode!r}: expected 'ram' or 'device'")
     device_cache = cache_mode == "device"
     if device_cache:
         # --cache device: the whole train split lives in HBM; the host only
@@ -261,6 +265,7 @@ def train(hyp: dict, opt) -> float:
     final_epoch = start_epoch
     maps = np.zeros(nc)  # per-class mAP for image-weight sampling
     ckpt_writer = AsyncCheckpointer()
+    watchdog_stop = None
     if os.environ.get("TRAIN_WATCHDOG"):
         # stall localizer: dump the main thread's stack periodically
         import sys
@@ -268,10 +273,10 @@ def train(hyp: dict, opt) -> float:
         import traceback
 
         main_id = threading.get_ident()
+        watchdog_stop = threading.Event()
 
         def _watch():
-            while True:
-                time.sleep(15)
+            while not watchdog_stop.wait(15):
                 frame = sys._current_frames().get(main_id)
                 if frame is not None:
                     stack = traceback.extract_stack(frame)
@@ -389,7 +394,7 @@ def train(hyp: dict, opt) -> float:
         # TPU runs the next epoch. The synchronous version cost
         # ~20 s/epoch on the tunnel runtime (0.7 GB device_get + msgpack
         # on one host core).
-        if not getattr(opt, "nosave", False) or epoch == final_epoch:
+        if not getattr(opt, "nosave", False) or epoch == opt.epochs - 1:
             # --ckpt-period N thins last/best to every N epochs + strict
             # fitness improvements + the final epoch. On the tunnel
             # runtime the mandatory device->host transfer of the 805 MB
@@ -414,12 +419,15 @@ def train(hyp: dict, opt) -> float:
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
-            if not getattr(opt, "nosave", False):
-                ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness)
+            # the early-stop epoch IS the final epoch: save even under
+            # --nosave (reference semantics: --nosave keeps only the final)
+            ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness)
             break
 
     ckpt_writer.close()
     xfer.shutdown(wait=False)
+    if watchdog_stop is not None:
+        watchdog_stop.set()
     LOGGER.info(f"{final_epoch - start_epoch + 1} epochs in {(time.time() - t0) / 3600:.2f}h")
     for f in (last, best):
         if f.exists():

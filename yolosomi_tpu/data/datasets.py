@@ -237,6 +237,25 @@ class DetectionDataset:
             im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
         return im, (h0, w0), im.shape[:2]
 
+    @staticmethod
+    def _mosaic_tile_rects(i: int, xc: int, yc: int, w: int, h: int, s: int):
+        """Canvas/source paste rectangles for mosaic tile i (TL/TR/BL/BR)
+        — single source of truth for load_mosaic (pixels) and _plan_mosaic
+        (device plan), reference datasets.py:745-760."""
+        if i == 0:  # top left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        return (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b)
+
     def load_mosaic(self, index: int):
         """4-image mosaic on a 2s x 2s canvas (reference: datasets.py:732-798)."""
         s = self.img_size
@@ -247,18 +266,7 @@ class DetectionDataset:
         img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
         for i, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
-            if i == 0:  # top left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-            elif i == 1:  # top right
-                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-            elif i == 2:  # bottom left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-            else:  # bottom right
-                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = self._mosaic_tile_rects(i, xc, yc, w, h, s)
             img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
             padw, padh = x1a - x1b, y1a - y1b
             labels = self.labels[idx].copy()
@@ -362,18 +370,7 @@ class DetectionDataset:
         srect = np.zeros((4, 4), np.float32)
         for i, idx in enumerate(indices):
             h, w = self.resized_hw(idx)
-            if i == 0:  # top left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-            elif i == 1:  # top right
-                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-            elif i == 2:  # bottom left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-            else:  # bottom right
-                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = self._mosaic_tile_rects(i, xc, yc, w, h, s)
             padw, padh = x1a - x1b, y1a - y1b
             offs[i] = (padw, padh)
             srect[i] = (x1b, y1b, x2b, y2b)
@@ -396,9 +393,17 @@ class DetectionDataset:
         )
 
     def _plan_letterbox(self, index: int):
-        """The non-mosaic __getitem__ branch as a single-tile plan."""
+        """The non-mosaic __getitem__ branch as a single-tile plan.
+
+        The letterbox resize ratio is usually 1 (the cache slab already
+        holds the long-side-S image) but load_image's int() truncation can
+        leave the long side at S-1, making ratio S/(S-1); that scale is
+        folded into the plan matrix (source = (M @ L)^-1 @ output with L
+        the letterbox scale+pad), so pixels stay aligned with the labels
+        at the cost of one combined bilinear resample instead of the
+        host's resize-then-warp pair (sub-pixel difference)."""
         h, w = self.resized_hw(index)
-        ratio, _, (dw, dh) = letterbox_params(
+        ratio, new_unpad, (dw, dh) = letterbox_params(
             (h, w), self.img_size, scaleup=self.augment, auto=False
         )
         top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
@@ -415,13 +420,23 @@ class DetectionDataset:
             perspective=hyp.get("perspective", 0.0), border=(0, 0),
         )
         labels = A.warp_labels(labels, M, sc, width, height, hyp.get("perspective", 0.0))
+        # pixel mapping of the host's cv2.resize to the ROUNDED new_unpad
+        # (center-aligned: dst = s*src + 0.5*s - 0.5), then the int pad.
+        # Labels above keep the host's ratio-based formula — including the
+        # host's own <=0.25 px ratio-vs-rounded-resize inconsistency —
+        # so labels stay bit-identical to --cache ram while pixels align
+        # with what cv2 actually renders.
+        sx, sy = new_unpad[0] / w, new_unpad[1] / h
+        L = np.asarray(
+            [[sx, 0.0, 0.5 * sx - 0.5 + left], [0.0, sy, 0.5 * sy - 0.5 + top], [0.0, 0.0, 1.0]],
+            np.float64,
+        )
         idx4 = np.full(4, index, np.int32)
         center = np.asarray([1e9, 1e9], np.float32)  # tile 0 owns every pixel
         offs = np.zeros((4, 2), np.float32)
-        offs[0] = (left, top)
         srect = np.zeros((4, 4), np.float32)
         srect[0] = (0, 0, w, h)
-        return idx4, center, offs, srect, np.linalg.inv(M).astype(np.float32), labels
+        return idx4, center, offs, srect, np.linalg.inv(M @ L).astype(np.float32), labels
 
     def plan_item(self, index: int):
         """__getitem__ for the device-cache path: every random draw and all
@@ -563,7 +578,7 @@ class DataLoader:
             rng.shuffle(idx)
         nb = len(self)
         pool = None
-        if self.workers > 1:
+        if self.workers > 1 and not self.plan:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(max_workers=self.workers)

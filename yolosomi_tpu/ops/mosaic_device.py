@@ -29,6 +29,7 @@ instead of per-pixel control flow.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -43,13 +44,20 @@ def build_device_cache(dataset) -> Tuple[np.ndarray, np.ndarray]:
     and top-left anchored in an (N, S, S, 3) uint8 slab (pad = 114, the
     mosaic fill, so out-of-extent bilinear taps match the canvas border).
     Returns (slab, hw) with hw (N, 2) = the resized (h, w) per image."""
+    from concurrent.futures import ThreadPoolExecutor
+
     n, s = len(dataset), dataset.img_size
     slab = np.full((n, s, s, 3), int(FILL), np.uint8)
     hw = np.zeros((n, 2), np.int32)
-    for i in range(n):
+
+    def _load(i):
         img, _, (h, w) = dataset.load_image(i)
         slab[i, :h, :w] = img
         hw[i] = (h, w)
+
+    # cv2 decode/resize release the GIL: threads parallelize the build
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+        list(pool.map(_load, range(n)))
     return slab, hw
 
 

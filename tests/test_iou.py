@@ -45,6 +45,23 @@ def test_ciou_identity_is_one():
     assert abs(float(bbox_iou(b, b, CIoU=True)[0]) - 1.0) < 1e-4
 
 
+def test_ciou_grad_finite_at_zero_size_prediction():
+    """h==0 predictions (sigmoid-underflowed wh logits) must not NaN the
+    CIoU backward: arctan(w/0) has a 0*inf gradient without the
+    reference's +eps on heights (metrics.py:184-185) — this silently
+    zeroed every flagship train step through the finite-grad guard."""
+    import jax
+
+    tbox = jnp.array([[0.5, 0.5, 1.2, 0.8]])
+    for pbox in (
+        jnp.array([[0.5, 0.5, 1.0, 0.0]]),  # h == 0
+        jnp.array([[0.5, 0.5, 0.0, 1.0]]),  # w == 0
+        jnp.array([[0.5, 0.5, 0.0, 0.0]]),  # both
+    ):
+        g = jax.grad(lambda p: (1.0 - bbox_iou(p, tbox, xywh=True, CIoU=True)).sum())(pbox)
+        assert bool(jnp.isfinite(g).all()), (pbox, g)
+
+
 def test_giou_penalty():
     a = jnp.array([[0.0, 0.0, 2.0, 2.0]])
     b = jnp.array([[10.0, 0.0, 2.0, 2.0]])

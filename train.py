@@ -321,6 +321,7 @@ def train(hyp: dict, opt) -> float:
             t_pre = time.time() - t_pre0
             pending = None  # (batch index, on-device metrics) awaiting fetch
             n_logged = 0
+            n_skipped = 0
             i = 0
             t_wait = t_disp = t_fetch = 0.0
             while fut is not None:
@@ -340,9 +341,11 @@ def train(hyp: dict, opt) -> float:
                     m = jax.device_get(pm)
                     mloss = (mloss * n_logged + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (n_logged + 1)
                     n_logged += 1
+                    skipped = "" if bool(m.get("grads_finite", True)) else " SKIPPED(non-finite grads)"
+                    n_skipped += 0 if not skipped else 1
                     LOGGER.info(
                         f"epoch {epoch}/{opt.epochs - 1} batch {j}/{nb} "
-                        f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
+                        f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}{skipped}"
                     )
                 t_fetch += time.time() - t_c
                 pending = (i, metrics) if i % max(nb // 10, 1) == 0 else None
@@ -361,6 +364,11 @@ def train(hyp: dict, opt) -> float:
                 f"dispatch {t_disp:.1f}s metric-fetch {t_fetch:.1f}s "
                 f"final-fetch {time.time() - t_fin0:.1f}s"
             )
+            if n_skipped:
+                LOGGER.warning(
+                    f"epoch {epoch}: {n_skipped}/{n_logged} logged steps SKIPPED on "
+                    f"non-finite gradients — the model is not learning on those batches"
+                )
 
         # per-epoch val with EMA weights (reference: train.py:291-303)
         t_val0 = time.time()

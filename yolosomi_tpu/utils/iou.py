@@ -46,6 +46,14 @@ def bbox_iou(
         b1y1, b1y2 = y1 - h1 / 2, y1 + h1 / 2
         b2x1, b2x2 = x2 - w2 / 2, x2 + w2 / 2
         b2y1, b2y2 = y2 - h2 / 2, y2 + h2 / 2
+        # the reference recomputes heights with +eps in BOTH input branches
+        # (metrics.py:184-185 / :497-498). Without it a sigmoid-underflowed
+        # prediction gives h1 == 0 exactly, and CIoU's arctan(w1/h1)
+        # backward emits 0*inf = NaN — observed poisoning every flagship
+        # 640px train step through the finite-grad guard (grads zeroed,
+        # steps skipped, loss flat for 200 epochs).
+        h1 = h1 + eps
+        h2 = h2 + eps
     else:
         b1x1, b1y1, b1x2, b1y2 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
         b2x1, b2y1, b2x2, b2y2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]

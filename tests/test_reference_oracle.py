@@ -450,6 +450,41 @@ def test_bbox_iou_oracle_xywh_ciou():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref).squeeze(), rtol=2e-5, atol=2e-6)
 
 
+def test_bbox_iou_oracle_xywh_ciou_zero_size_grads():
+    """Degenerate (w or h == 0) predictions, value AND gradient vs the
+    reference: its +eps on heights (metrics.py:184-185) is what keeps
+    CIoU's arctan backward finite — the round-3 silent-skip root cause."""
+    import jax
+
+    preds = np.array(
+        [[5.0, 5.0, 2.0, 0.0], [5.0, 5.0, 0.0, 2.0], [5.0, 5.0, 0.0, 0.0]], np.float32
+    )
+    tgts = np.array(
+        [[5.0, 5.0, 3.0, 3.0], [5.5, 5.5, 2.0, 2.0], [4.0, 4.0, 1.0, 1.0]], np.float32
+    )
+    def both(p_np):
+        tp = torch.from_numpy(p_np.copy()).requires_grad_(True)
+        ref = ref_metrics.bbox_iou(tp.T, torch.from_numpy(tgts), x1y1x2y2=False, CIoU=True)
+        (1.0 - ref).sum().backward()
+        ours, g = jax.value_and_grad(
+            lambda p: (1.0 - our_iou.bbox_iou(p, jnp.asarray(tgts), xywh=True, CIoU=True)).sum()
+        )(jnp.asarray(p_np))
+        return float((1.0 - ref).sum()), np.asarray(tp.grad), float(ours), np.asarray(g)
+
+    # exactly-zero extents: value parity + finite grads on both sides
+    # (grad VALUES legitimately differ here — max/clamp subgradient
+    # tie-break conventions diverge at the measure-zero boundary:
+    # jnp.maximum splits ties 0.5/0.5, torch.clamp routes 1.0)
+    ref_v, ref_g, our_v, our_g = both(preds)
+    assert np.isfinite(ref_g).all() and np.isfinite(our_g).all()
+    np.testing.assert_allclose(our_v, ref_v, rtol=1e-5)
+
+    # near-zero extents (off the tie): full gradient parity
+    ref_v, ref_g, our_v, our_g = both(preds + np.float32(1e-4))
+    np.testing.assert_allclose(our_v, ref_v, rtol=1e-5)
+    np.testing.assert_allclose(our_g, ref_g, rtol=1e-3, atol=1e-4)
+
+
 def test_wasserstein_oracle():
     """NWD similarity fns vs reference (utils/metrics.py:341-395)."""
     rng = np.random.default_rng(13)

@@ -52,21 +52,26 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
         )
         return jnp.sum(out)  # scalar fetch forces completion
 
+    import os
+    from collections import deque
+
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "2"))
+
     def timed(fn, args, b, label):
         float(fn(*args))  # compile + warm
-        # pipelined: keep one batch in flight so the host round-trip
-        # overlaps device execution (the steady-state serving pattern)
+        # pipelined: keep `depth` batches in flight so host round-trips
+        # overlap device execution (the steady-state serving pattern)
         t0 = time.perf_counter()
-        prev = None
+        inflight = deque()
         for _ in range(iters):
-            cur = fn(*args)
-            if prev is not None:
-                float(prev)
-            prev = cur
-        float(prev)
+            inflight.append(fn(*args))
+            if len(inflight) > depth:
+                float(inflight.popleft())
+        while inflight:
+            float(inflight.popleft())
         dt = time.perf_counter() - t0
         ips = b * iters / dt
-        print(f"# {label} batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined -> {ips:.1f} img/s")
+        print(f"# {label} batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined(x{depth}) -> {ips:.1f} img/s")
         return ips
 
     best = 0.0

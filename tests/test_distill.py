@@ -1,0 +1,108 @@
+"""Knowledge distillation (engine/distill.py): the beyond-parity path to
+the 2,000 img/s serving target (PERF.md speed-of-light table: the
+flagship's physics ceiling is ~807 img/s; a width-scaled student is the
+documented route past it)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from yolosomi_tpu.engine.distill import distill_loss, wrap_loss_with_distillation
+from yolosomi_tpu.engine.optim import make_optimizer
+from yolosomi_tpu.engine.trainer import create_train_state, make_train_step
+from yolosomi_tpu.losses import ComputeLoss, pad_targets
+from yolosomi_tpu.models.yolo import build_model, init_model
+from yolosomi_tpu.utils.config import DEFAULT_HYP, find_config, load_model_cfg
+
+
+def _mini(width=0.25, nc=3, imgsz=64):
+    cfg = load_model_cfg(find_config("yolov5n"))
+    cfg["width_multiple"] = width
+    model, meta = build_model(cfg, nc=nc)
+    variables = init_model(model, meta, imgsz=imgsz)
+    return model, meta, variables
+
+
+def _rand_preds(meta, rng, b=2, imgsz=64, scale=1.0):
+    preds = []
+    for s in meta.strides:
+        n = imgsz // int(s)
+        na = len(meta.anchors_px[0])
+        preds.append(jnp.asarray(rng.standard_normal((b, n, n, na, 5 + 3)) * scale, jnp.float32))
+    return preds
+
+
+def test_distill_loss_prefers_teacher_match():
+    _, meta, _ = _mini()
+    rng = np.random.default_rng(0)
+    t = _rand_preds(meta, rng)
+    other = _rand_preds(meta, rng)
+    same = distill_loss(t, t, meta.anchors_px, meta.strides)
+    diff = distill_loss(other, t, meta.anchors_px, meta.strides)
+    assert np.isfinite(float(same)) and np.isfinite(float(diff))
+    assert float(same) < float(diff)
+
+
+def test_distill_loss_grad_flows_to_student_only():
+    _, meta, _ = _mini()
+    rng = np.random.default_rng(1)
+    s = _rand_preds(meta, rng)
+    t = _rand_preds(meta, rng)
+    gs, gt = jax.grad(
+        lambda a, b: distill_loss(a, b, meta.anchors_px, meta.strides), argnums=(0, 1)
+    )(s, t)
+    assert any(float(jnp.abs(g).max()) > 0 for g in gs)
+    assert all(float(jnp.abs(g).max()) == 0 for g in gt)  # teacher detached
+    assert all(bool(jnp.isfinite(g).all()) for g in gs)
+
+
+def test_distilled_train_step_moves_student_toward_teacher():
+    """Zero base loss isolates the KD plumbing: teacher fwd inside the
+    jitted step, gradients through the student only, KD declining."""
+    model, meta, sv = _mini()
+    _, _, tv = _mini()  # same arch, different init = the frozen teacher
+    hyp = dict(DEFAULT_HYP)
+
+    def base(preds, targets):  # detection loss off: isolate distillation
+        return jnp.zeros(()), jnp.zeros(3)
+
+    def teacher_apply(variables, images):
+        return model.apply(variables, images, train=False)
+
+    loss_fn = wrap_loss_with_distillation(base, teacher_apply, tv, meta, alpha=1.0)
+    assert loss_fn.needs_images
+    optimizer = make_optimizer(hyp, nb=4, epochs=3, batch_size=2)
+    state = create_train_state(dict(sv), optimizer)
+    step = make_train_step(model, loss_fn, optimizer)
+
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    targets = jnp.asarray(pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * 2, 8))
+
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    for _ in range(3):
+        state, metrics = step(state, images, targets)
+        assert np.isfinite(float(metrics["loss"]))
+        assert bool(metrics["grads_finite"])
+        assert float(metrics["loss"]) > 0  # base is zero: the loss IS the KD term
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.abs(p1 - p0).max()) > 0, "KD gradient did not move the student"
+
+    # descent property, decoupled from optimizer warmup/momentum/BN drift:
+    # plain GD on the distill loss must reduce it
+    bs = state.batch_stats
+
+    def kd_of(params):
+        sp = model.apply({"params": params, "batch_stats": bs}, images, train=False)
+        tp = teacher_apply(tv, images)
+        return distill_loss(sp, tp, meta.anchors_px, meta.strides)
+
+    params = state.params
+    kd0 = float(kd_of(params))
+    g_fn = jax.jit(jax.value_and_grad(kd_of))
+    for _ in range(6):
+        kd, g = g_fn(params)
+        params = jax.tree_util.tree_map(lambda p, gg: p - 5e-3 * gg, params, g)
+    kd1 = float(kd_of(params))
+    assert kd1 < kd0, f"plain GD on distill loss did not descend ({kd0:.4f} -> {kd1:.4f})"

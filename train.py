@@ -26,6 +26,7 @@ import val as validate
 from yolosomi_tpu.data.datasets import DataLoader, DetectionDataset
 from yolosomi_tpu.engine.checkpoint import (
     AsyncCheckpointer,
+    checkpoint_variables,
     load_checkpoint,
     save_checkpoint,
     strip_checkpoint,
@@ -208,6 +209,30 @@ def train(hyp: dict, opt) -> float:
     else:
         loss_fn = ComputeLoss(meta, hyp)
         loss_fn.rep = opt.rep
+
+    if getattr(opt, "teacher", ""):
+        # knowledge distillation (engine/distill.py): frozen teacher runs
+        # inside the student's jitted step; requires matching anchor layout
+        # (width/depth-scaled variants of one config)
+        from yolosomi_tpu.engine.distill import wrap_loss_with_distillation
+
+        t_cfg = load_model_cfg(find_config(getattr(opt, "teacher_cfg", "") or opt.cfg))
+        t_model, t_meta = build_model(t_cfg, nc=nc, dtype=dtype)
+        if str(opt.teacher).endswith(".msgpack"):
+            from yolosomi_tpu.engine.checkpoint import load_variables
+
+            t_vars = load_variables(opt.teacher)
+        else:
+            t_vars = checkpoint_variables(load_checkpoint(opt.teacher))
+        assert len(t_meta.strides) == len(meta.strides), "teacher/student level count differs"
+
+        def teacher_apply(variables, images):
+            return t_model.apply(variables, images, train=False)
+
+        loss_fn = wrap_loss_with_distillation(
+            loss_fn, teacher_apply, t_vars, meta, alpha=getattr(opt, "distill", 1.0)
+        )
+        LOGGER.info(f"distillation: teacher={opt.teacher} alpha={getattr(opt, 'distill', 1.0)}")
 
     mesh = create_mesh()
     gs = int(max(meta.strides))
@@ -480,6 +505,13 @@ def parse_opt(argv=None):
     parser.add_argument("--no-bf16", action="store_true")
     parser.add_argument("--freeze", type=int, default=0,
                         help="freeze the first N layers (reference train.py --freeze)")
+    parser.add_argument("--teacher", type=str, default="",
+                        help="distillation teacher checkpoint (.ckpt/.msgpack); "
+                             "student learns teacher soft targets (engine/distill.py)")
+    parser.add_argument("--teacher-cfg", type=str, default="",
+                        help="teacher model config (defaults to --cfg)")
+    parser.add_argument("--distill", type=float, default=1.0,
+                        help="distillation loss weight alpha")
     parser.add_argument("--ckpt-period", type=int, default=1,
                         help="save last/best every N epochs (+ improvements and final); "
                              "1 = reference every-epoch semantics")

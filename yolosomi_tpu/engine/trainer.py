@@ -105,7 +105,12 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss, comps = loss_fn(preds, targets)
+            if getattr(loss_fn, "needs_images", False):
+                # distillation wrapper: the frozen teacher's forward runs
+                # here, inside the same compiled step (engine/distill.py)
+                loss, comps = loss_fn(preds, targets, images=images)
+            else:
+                loss, comps = loss_fn(preds, targets)
             return loss, (comps, mutated["batch_stats"])
 
         (loss, (comps, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)

@@ -115,7 +115,13 @@ def bbox_iou(
     # w.r.t. gradients (torch uses no_grad; lax.stop_gradient is the analogue)
     import jax
 
-    alpha_ciou = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    # denominator is mathematically v + (1 - iou) + eps >= eps, but f32
+    # rounding can put iou one ULP above 1 for identical large boxes and
+    # cancel (1 + eps) exactly -> 0/0 (the reference's torch code has the
+    # same measure-zero flake); clamp keeps the detached coefficient finite
+    alpha_ciou = jax.lax.stop_gradient(
+        v / jnp.maximum(v - iou + (1 + eps), 1e-8)
+    )
     return iou - (jnp.power(rho2 / c2, alpha) + jnp.power(v * alpha_ciou + eps, alpha))
 
 

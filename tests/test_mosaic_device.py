@@ -194,6 +194,21 @@ def test_plan_loader_collates_and_device_builds_batch():
     assert (np.abs(out - 114 / 255.0) > 0.05).mean() > 0.05
 
 
+def test_plan_loader_honors_image_weights():
+    """--image-weights sampling flows through plan mode (the idx draw is
+    shared loader code, but pin it: a one-hot weight must make every
+    mosaic's FIRST tile that image)."""
+    ds = _dataset()
+    dl = DataLoader(ds, 4, shuffle=True, plan=True, prefetch=0)
+    w = np.zeros(len(ds))
+    w[3] = 1.0
+    dl.sample_weights = w
+    plan, targets, paths, _ = next(iter(dl))
+    # base index of every sample is image 3 (mosaic shuffles tile order,
+    # so check membership of 3 in each sample's first composite)
+    assert all(3 in plan["idx"][b, 0] for b in range(4))
+
+
 def test_train_step_device_mosaic_runs_and_is_finite():
     """make_train_step(device_mosaic=...) end-to-end on a tiny graph."""
     import jax

@@ -105,6 +105,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert sv["params"]["layers_0"]["cv"]["conv"]["kernel"].dtype == jnp.bfloat16
 
 
+def test_anchors_persist_through_checkpoint_and_strip(tmp_path):
+    """Autoanchor-refined anchors must survive ckpt -> strip -> Runner
+    (the reference keeps them in the pickled m.anchors buffer; without
+    persistence a refined run decodes with the cfg defaults)."""
+    from yolosomi_tpu.engine.checkpoint import load_artifact, strip_checkpoint
+
+    hyp = dict(DEFAULT_HYP)
+    opt = make_optimizer(hyp, nb=4, epochs=2, batch_size=4)
+    variables = {"params": _params(), "batch_stats": {}}
+    state = create_train_state(variables, opt)
+    refined = [[7.0, 9.0, 13.0, 17.0], [30.0, 40.0, 60.0, 80.0]]
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(p, state, epoch=1, anchors=refined)
+    ckpt = load_checkpoint(p)
+    np.testing.assert_allclose(ckpt["anchors"], refined)
+    strip_checkpoint(p, tmp_path / "best.msgpack")
+    _, anchors = load_artifact(tmp_path / "best.msgpack")
+    np.testing.assert_allclose(anchors, refined)
+
+
 def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
     """A crash mid-write must never truncate an existing checkpoint: the
     blob goes to a .tmp sibling and lands via os.replace (observed on the

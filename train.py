@@ -144,6 +144,14 @@ def train(hyp: dict, opt) -> float:
     start_epoch, best_fitness = 0, 0.0
     if opt.weights and Path(opt.weights).exists():
         ckpt = load_checkpoint(opt.weights)
+        if opt.resume and ckpt.get("anchors") is not None:
+            # adopt the run's (autoanchor-refined) anchors over this
+            # process's fresh autoanchor pass — resume must not change
+            # the decode geometry mid-run
+            model, meta = build_model(
+                cfg, nc=nc, anchors=np.asarray(ckpt["anchors"], np.float32).tolist(), dtype=dtype
+            )
+            meta.names = names
         # transfer-learn: intersect by tree path + shape (reference:
         # train.py:102-108 intersect_dicts)
         flat_new = dict(jax.tree_util.tree_flatten_with_path(variables["params"])[0])
@@ -448,13 +456,15 @@ def train(hyp: dict, opt) -> float:
                 if sp > 0 and epoch % sp == 0:
                     paths.append(last.parent / f"epoch{epoch}.ckpt")
                 # one snapshot + one blob for all targets of this epoch
-                ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness)
+                ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness,
+                                 anchors=[list(a) for a in meta.anchors])
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
             # the early-stop epoch IS the final epoch: save even under
             # --nosave (reference semantics: --nosave keeps only the final)
-            ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness)
+            ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness,
+                             anchors=[list(a) for a in meta.anchors])
             break
 
     ckpt_writer.close()

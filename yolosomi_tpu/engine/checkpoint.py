@@ -31,14 +31,20 @@ def _to_host(tree):
 
 
 def build_checkpoint_payload(
-    state, epoch: int = -1, best_fitness: float = 0.0, include_optimizer: bool = True
+    state, epoch: int = -1, best_fitness: float = 0.0, include_optimizer: bool = True,
+    anchors=None,
 ) -> dict:
     """Pull the train state host-side into the checkpoint dict layout.
     This is the device->host transfer half of a save; serialization and
-    disk writes can then run without touching device memory."""
+    disk writes can then run without touching device memory.
+
+    `anchors`: the (possibly autoanchor-refined) per-level pixel anchors —
+    the reference persists them inside the pickled model (m.anchors
+    buffer); without them a refined run decodes wrongly after reload."""
     payload = {
         "epoch": epoch,
         "best_fitness": best_fitness,
+        **({"anchors": np.asarray(anchors, np.float32)} if anchors is not None else {}),
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "ema_params": _to_host(state.ema.variables["params"]),
@@ -77,10 +83,11 @@ def save_checkpoint(
     best_fitness: float = 0.0,
     meta_dict: Optional[dict] = None,
     include_optimizer: bool = True,
+    anchors=None,
 ) -> None:
     write_checkpoint_payload(
         path,
-        build_checkpoint_payload(state, epoch, best_fitness, include_optimizer),
+        build_checkpoint_payload(state, epoch, best_fitness, include_optimizer, anchors=anchors),
         meta_dict=meta_dict,
     )
 
@@ -199,12 +206,14 @@ def checkpoint_variables(ckpt: dict, ema: bool = True) -> dict:
     return {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})}
 
 
-def save_variables(path, variables: dict, meta_dict: Optional[dict] = None) -> None:
+def save_variables(path, variables: dict, meta_dict: Optional[dict] = None, anchors=None) -> None:
     """Save bare inference variables (weights-only artifact)."""
     payload = {
         "params": _to_host(variables["params"]),
         "batch_stats": _to_host(variables.get("batch_stats", {})),
     }
+    if anchors is not None:
+        payload["anchors"] = np.asarray(anchors, np.float32)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(serialization.msgpack_serialize(payload))
@@ -213,10 +222,19 @@ def save_variables(path, variables: dict, meta_dict: Optional[dict] = None) -> N
 
 
 def load_variables(path) -> dict:
+    return load_artifact(path)[0]
+
+
+def load_artifact(path):
+    """(variables, anchors-or-None) from a .msgpack or full .ckpt —
+    anchors ride the artifact when autoanchor refined them at train time
+    (the reference's m.anchors-buffer behavior, yolo.py/autoanchor)."""
     obj = serialization.msgpack_restore(Path(path).read_bytes())
+    anchors = obj.get("anchors")
+    anchors = np.asarray(anchors, np.float32) if anchors is not None else None
     if "params" not in obj:  # full checkpoint passed: take EMA
-        return checkpoint_variables(obj)
-    return {"params": obj["params"], "batch_stats": obj.get("batch_stats", {})}
+        return checkpoint_variables(obj), anchors
+    return {"params": obj["params"], "batch_stats": obj.get("batch_stats", {})}, anchors
 
 
 def strip_checkpoint(path, out_path=None, half: bool = True) -> None:
@@ -229,4 +247,4 @@ def strip_checkpoint(path, out_path=None, half: bool = True) -> None:
             lambda x: x.astype(jnp.bfloat16) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
             variables,
         )
-    save_variables(out_path or path, variables)
+    save_variables(out_path or path, variables, anchors=ckpt.get("anchors"))

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from yolosomi_tpu.engine.checkpoint import load_variables
+from yolosomi_tpu.engine.checkpoint import load_artifact
 from yolosomi_tpu.models.heads import decode
 from yolosomi_tpu.models.yolo import build_model, init_model
 from yolosomi_tpu.ops.nms import non_max_suppression
@@ -48,18 +48,26 @@ class Runner:
         cfg_dict = load_model_cfg(find_config(cfg))
         self.model, self.meta = build_model(cfg_dict, nc=nc, dtype=dtype)
         self.dtype = dtype
-        if weights and Path(weights).exists() and nc is None:
-            # infer nc from the checkpoint head shapes (the reference gets
-            # it from the pickled module; our weights are bare pytrees)
-            peek = load_variables(weights)
-            detected = self._infer_nc(peek["params"])
-            if detected is not None and detected != self.meta.nc:
-                LOGGER.info(f"nc={detected} inferred from checkpoint (cfg said {self.meta.nc})")
-                self.model, self.meta = build_model(cfg_dict, nc=detected, dtype=dtype)
+        ckpt_anchors = None
         if weights and Path(weights).exists():
-            self.variables = load_variables(weights)
-            # msgpack restores plain dicts; cast leaves to jnp
-            self.variables = jax.tree_util.tree_map(jnp.asarray, self.variables)
+            peek, ckpt_anchors = load_artifact(weights)
+            if nc is None:
+                # infer nc from the checkpoint head shapes (the reference
+                # gets it from the pickled module; ours are bare pytrees)
+                detected = self._infer_nc(peek["params"])
+                if detected is not None and detected != self.meta.nc:
+                    LOGGER.info(f"nc={detected} inferred from checkpoint (cfg said {self.meta.nc})")
+                    nc = detected
+            if ckpt_anchors is not None or nc is not None:
+                # adopt the artifact's (autoanchor-refined) anchors — the
+                # reference reads them from the pickled m.anchors buffer
+                anchors_arg = ckpt_anchors.tolist() if ckpt_anchors is not None else None
+                self.model, self.meta = build_model(
+                    cfg_dict, nc=nc, anchors=anchors_arg, dtype=dtype
+                )
+                if ckpt_anchors is not None:
+                    LOGGER.info("anchors restored from checkpoint")
+            self.variables = jax.tree_util.tree_map(jnp.asarray, peek)
             LOGGER.info(f"loaded weights {weights}")
         else:
             if weights:

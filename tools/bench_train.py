@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--cfg", default="yolo-somi")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state (in-place update; halves the "
+                         "params+momentum HBM round trip). Safe in isolation; the "
+                         "production loop keeps donate=False on the tunnel runtime "
+                         "(interleaved-val corruption, see trainer.py)")
     args = ap.parse_args()
 
     from yolosomi_tpu.engine.optim import make_optimizer
@@ -40,7 +45,7 @@ def main():
     loss_fn = ComputeLoss(meta, hyp)
     optimizer = make_optimizer(hyp, nb=100, epochs=100, batch_size=args.batch)
     state = create_train_state(dict(variables), optimizer)
-    step = make_train_step(model, loss_fn, optimizer)
+    step = make_train_step(model, loss_fn, optimizer, donate=args.donate)
 
     b, sz = args.batch, args.imgsz
     rng = np.random.default_rng(0)

@@ -145,9 +145,9 @@ def test_letterbox_plan_handles_truncated_resize(tmp_path):
     assert (diff > 6.0).mean() < 0.02, f"pixels off: {(diff > 6.0).mean():.4f}"
 
 
-def test_windowed_gather_equals_flat_taps():
-    """The single windowed lax.gather lowering == four flat taps, incl.
-    the clamped-window edge pixels (fill compensation)."""
+def test_tiles_first_gather_equals_flat_taps():
+    """The tiles-first lowering (contiguous per-sample tile gather +
+    small-table taps) == the flat global-table taps."""
     from yolosomi_tpu.ops.mosaic_device import _composite_single
 
     ds = _dataset()
@@ -161,8 +161,8 @@ def test_windowed_gather_equals_flat_taps():
         jnp.asarray(idx4)[None], jnp.asarray(minv)[None], jnp.asarray(center)[None],
         jnp.asarray(offs)[None], jnp.asarray(srect)[None],
     )
-    a = np.asarray(_composite_single(cache_flat, S, *args, S, windowed=False))
-    b = np.asarray(_composite_single(cache_flat, S, *args, S, windowed=True))
+    a = np.asarray(_composite_single(cache_flat, S, *args, S, tiles_first=False))
+    b = np.asarray(_composite_single(cache_flat, S, *args, S, tiles_first=True))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
 
 

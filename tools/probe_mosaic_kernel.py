@@ -48,13 +48,15 @@ def main():
     minv[:, 1, 1] = np.cos(theta) * 2
     minv = jnp.asarray(minv)
 
-    for name, windowed in (("flat-4tap", False), ("windowed", True)):
+    for name, tiles_first in (("flat-4tap", False), ("tiles-first", True)):
 
         @jax.jit
-        def chained(m0, _w=windowed):
+        def chained(cache, m0, _tf=tiles_first):
             def body(i, carry):
                 m, acc = carry
-                out = _composite_single(cache_flat, S, idx, m, center, offs, srect, S, windowed=_w)
+                out = _composite_single(
+                    cache, S, idx, m, center, offs, srect, S, tiles_first=_tf
+                )
                 d = out.mean()
                 # perturb the matrix with the carry so nothing hoists
                 m = m + (d * 0.0).astype(m.dtype)[None, None, None] + (
@@ -65,11 +67,11 @@ def main():
             m, acc = jax.lax.fori_loop(0, args.chain, body, (m0, jnp.float32(0)))
             return acc
 
-        float(chained(minv))  # compile + warm
+        float(chained(cache_flat, minv))  # compile + warm
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            float(chained(minv))
+            float(chained(cache_flat, minv))
         dt = (time.perf_counter() - t0) / (reps * args.chain)
         print(f"{name}: {dt * 1000:.2f} ms/composite (b{B} {S}px)")
 

@@ -68,18 +68,19 @@ def _pick(per_tile: jax.Array, onehot: jax.Array) -> jax.Array:
 
 
 def _composite_single(cache_flat: jax.Array, s_cache: int, idx, minv, center, offs, srect,
-                      out_size: int, windowed: bool = False):
+                      out_size: int, tiles_first: bool = False):
     """One mosaic composite per batch row. All plan tensors carry a
     leading batch dim: idx (B,4) i32, minv (B,3,3), center (B,2),
     offs (B,4,2) (padw,padh), srect (B,4,4) (x1b,y1b,x2b,y2b) source-space
     valid rects. Returns (B, out, out, 3) f32 in [0, 255].
 
-    `windowed=True` fetches each pixel's 2x2 bilinear footprint with ONE
-    lax.gather of slice_sizes (1,2,2,3) instead of four independent
-    3-byte-row gathers — 4x fewer gather indices for the same bytes.
-    Weights are computed against the clamped window base with negative
-    lobes clipped, and the fill contribution is (1 - sum(valid tap
-    weights)) so edge pixels stay exact."""
+    `tiles_first=True` gathers the 4 source tiles per sample into a
+    contiguous (B, 4*S*S, 3) table first (row-sized slices stream well),
+    then taps index the small per-sample table with take_along_axis —
+    an A/B lowering for the gather-bound composite (probe_mosaic_kernel).
+    A windowed single-gather variant (slice_sizes (1,2,2,3)) was tried
+    and DROPPED: 4x slower on CPU and uncompilable at train shapes on
+    TPU (the (B*S*S,2,2,3) window tensor tiles to a 20 GB allocation)."""
     B = idx.shape[0]
     ys = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (out_size, out_size), 1)
@@ -108,43 +109,26 @@ def _composite_single(cache_flat: jax.Array, s_cache: int, idx, minv, center, of
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
 
-    if windowed:
+    if tiles_first:
+        # (B, 4, S, S, 3) contiguous tile gather, then small-table taps.
+        # The quadrant index k replaces img_id in the flat index.
         cache4 = cache_flat.reshape(-1, s_cache, s_cache, 3)
-        x0c = jnp.clip(x0, 0, s_cache - 2).astype(jnp.int32)
-        y0c = jnp.clip(y0, 0, s_cache - 2).astype(jnp.int32)
-        starts = jnp.stack(
-            [img_id.reshape(B, -1), y0c.reshape(B, -1), x0c.reshape(B, -1)], axis=-1
-        ).reshape(-1, 3)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2),
+        tiles = jnp.take(cache4, idx.reshape(-1), axis=0).reshape(
+            B, 4 * s_cache * s_cache, 3
         )
-        win = jax.lax.gather(
-            cache4, starts, dnums, slice_sizes=(1, 2, 2, 3),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        ).reshape(B, out_size, out_size, 2, 2, 3).astype(jnp.float32)
-        acc = jnp.zeros((B, out_size, out_size, 3), jnp.float32)
-        wsum = jnp.zeros((B, out_size, out_size), jnp.float32)
-        x0cf = x0c.astype(jnp.float32)
-        y0cf = y0c.astype(jnp.float32)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xt = x0cf + dx
-                yt = y0cf + dy
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xt)) * jnp.maximum(
-                    0.0, 1.0 - jnp.abs(sy - yt)
-                )
-                v = (xt >= rect[..., 0]) & (xt < rect[..., 2]) & (yt >= rect[..., 1]) & (
-                    yt < rect[..., 3]
-                )
-                w = jnp.where(v, w, 0.0)
-                acc = acc + w[..., None] * win[:, :, :, dy, dx, :]
-                wsum = wsum + w
-        return acc + (1.0 - wsum)[..., None] * FILL
+
+        def tap_from(base_k, yi, xi):
+            flat = base_k * (s_cache * s_cache) + yi * s_cache + xi  # (B, H, W)
+            return jnp.take_along_axis(
+                tiles, flat.reshape(B, -1, 1), axis=1
+            ).reshape(B, out_size, out_size, 3)
+
+        base_sel = k
+    else:
+        tiles = None
+        base_sel = img_id
 
     acc = jnp.zeros((B, out_size, out_size, 3), jnp.float32)
-    base = img_id * (s_cache * s_cache)
     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
         xt = x0 + dx
         yt = y0 + dy
@@ -154,8 +138,11 @@ def _composite_single(cache_flat: jax.Array, s_cache: int, idx, minv, center, of
         v = (xt >= rect[..., 0]) & (xt < rect[..., 2]) & (yt >= rect[..., 1]) & (yt < rect[..., 3])
         xi = jnp.clip(xt, 0, s_cache - 1).astype(jnp.int32)
         yi = jnp.clip(yt, 0, s_cache - 1).astype(jnp.int32)
-        flat = (base + yi * s_cache + xi).reshape(B, -1)
-        tap = jnp.take(cache_flat, flat.reshape(-1), axis=0).reshape(B, out_size, out_size, 3)
+        if tiles_first:
+            tap = tap_from(base_sel, yi, xi)
+        else:
+            flat = (base_sel * (s_cache * s_cache) + yi * s_cache + xi).reshape(B, -1)
+            tap = jnp.take(cache_flat, flat.reshape(-1), axis=0).reshape(B, out_size, out_size, 3)
         acc = acc + w[..., None] * jnp.where(v[..., None], tap.astype(jnp.float32), FILL)
     return acc
 

@@ -25,12 +25,12 @@ import jax.numpy as jnp
 BASELINE_IMG_S = 2000.0
 
 
-def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8) -> float:
+def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-somi") -> float:
     from yolosomi_tpu.models.yolo import build_model
     from yolosomi_tpu.ops.nms import fused_postprocess
     from yolosomi_tpu.utils.config import find_config, load_model_cfg
 
-    cfg = load_model_cfg(find_config("yolo-somi"))
+    cfg = load_model_cfg(find_config(cfg))
     model, meta = build_model(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)

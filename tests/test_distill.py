@@ -70,8 +70,8 @@ def test_distilled_train_step_moves_student_toward_teacher():
     def teacher_apply(variables, images):
         return model.apply(variables, images, train=False)
 
-    loss_fn = wrap_loss_with_distillation(base, teacher_apply, tv, meta, alpha=1.0)
-    assert loss_fn.needs_images
+    loss_fn = wrap_loss_with_distillation(base, teacher_apply, meta, alpha=1.0)
+    assert loss_fn.needs_images and loss_fn.needs_aux
     optimizer = make_optimizer(hyp, nb=4, epochs=3, batch_size=2)
     state = create_train_state(dict(sv), optimizer)
     step = make_train_step(model, loss_fn, optimizer)
@@ -82,7 +82,7 @@ def test_distilled_train_step_moves_student_toward_teacher():
 
     p0 = jax.tree_util.tree_leaves(state.params)[0]
     for _ in range(3):
-        state, metrics = step(state, images, targets)
+        state, metrics = step(state, images, targets, tv)
         assert np.isfinite(float(metrics["loss"]))
         assert bool(metrics["grads_finite"])
         assert float(metrics["loss"]) > 0  # base is zero: the loss IS the KD term

@@ -130,8 +130,20 @@ def train(hyp: dict, opt) -> float:
         LOGGER.info("--sync-bn: BN statistics are always global-batch under jit (SyncBN by construction)")
     nb = len(train_loader)
 
-    # autoanchor (reference: train.py:203-204, autoanchor.py:25)
-    if not opt.noautoanchor:
+    ckpt = None
+    if opt.weights and Path(opt.weights).exists():
+        ckpt = load_checkpoint(opt.weights)
+
+    if opt.resume and ckpt is not None and ckpt.get("anchors") is not None:
+        # adopt the run's (autoanchor-refined) anchors — resume must not
+        # change the decode geometry mid-run, and re-running autoanchor
+        # here would just be discarded work
+        model, meta = build_model(
+            cfg, nc=nc, anchors=np.asarray(ckpt["anchors"], np.float32).tolist(), dtype=dtype
+        )
+        meta.names = names
+    elif not opt.noautoanchor:
+        # autoanchor (reference: train.py:203-204, autoanchor.py:25)
         from yolosomi_tpu.utils.autoanchor import check_anchors
 
         new_anchors = check_anchors(train_ds, meta, thr=hyp["anchor_t"], imgsz=imgsz, kmean=opt.kmean)
@@ -142,16 +154,7 @@ def train(hyp: dict, opt) -> float:
     variables = init_model(model, meta, rng=jax.random.PRNGKey(opt.seed), imgsz=min(imgsz, 256))
 
     start_epoch, best_fitness = 0, 0.0
-    if opt.weights and Path(opt.weights).exists():
-        ckpt = load_checkpoint(opt.weights)
-        if opt.resume and ckpt.get("anchors") is not None:
-            # adopt the run's (autoanchor-refined) anchors over this
-            # process's fresh autoanchor pass — resume must not change
-            # the decode geometry mid-run
-            model, meta = build_model(
-                cfg, nc=nc, anchors=np.asarray(ckpt["anchors"], np.float32).tolist(), dtype=dtype
-            )
-            meta.names = names
+    if ckpt is not None:
         # transfer-learn: intersect by tree path + shape (reference:
         # train.py:102-108 intersect_dicts)
         flat_new = dict(jax.tree_util.tree_flatten_with_path(variables["params"])[0])
@@ -218,28 +221,36 @@ def train(hyp: dict, opt) -> float:
         loss_fn = ComputeLoss(meta, hyp)
         loss_fn.rep = opt.rep
 
+    teacher_vars = None
     if getattr(opt, "teacher", ""):
         # knowledge distillation (engine/distill.py): frozen teacher runs
         # inside the student's jitted step; requires matching anchor layout
         # (width/depth-scaled variants of one config)
+        from yolosomi_tpu.engine.checkpoint import load_artifact
         from yolosomi_tpu.engine.distill import wrap_loss_with_distillation
 
+        if meta.head_type in ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8", "DetectYolov11", "DetectV11"):
+            raise SystemExit("--teacher: distillation supports anchor-based heads only "
+                             "(anchor-free DFL soft targets not implemented)")
+        t_vars, t_anchors = load_artifact(opt.teacher)
         t_cfg = load_model_cfg(find_config(getattr(opt, "teacher_cfg", "") or opt.cfg))
-        t_model, t_meta = build_model(t_cfg, nc=nc, dtype=dtype)
-        if str(opt.teacher).endswith(".msgpack"):
-            from yolosomi_tpu.engine.checkpoint import load_variables
-
-            t_vars = load_variables(opt.teacher)
-        else:
-            t_vars = checkpoint_variables(load_checkpoint(opt.teacher))
+        t_model, t_meta = build_model(
+            t_cfg, nc=nc,
+            anchors=t_anchors.reshape(len(meta.strides), -1).tolist() if t_anchors is not None else None,
+            dtype=dtype,
+        )
         assert len(t_meta.strides) == len(meta.strides), "teacher/student level count differs"
 
         def teacher_apply(variables, images):
             return t_model.apply(variables, images, train=False)
 
         loss_fn = wrap_loss_with_distillation(
-            loss_fn, teacher_apply, t_vars, meta, alpha=getattr(opt, "distill", 1.0)
+            loss_fn, teacher_apply, meta, alpha=getattr(opt, "distill", 1.0),
+            teacher_anchors_px=t_meta.anchors_px,
         )
+        # one device-resident copy, threaded through the step as an ARG
+        # (a closure constant would be re-embedded per compiled program)
+        teacher_vars = jax.tree_util.tree_map(jnp.asarray, t_vars)
         LOGGER.info(f"distillation: teacher={opt.teacher} alpha={getattr(opt, 'distill', 1.0)}")
 
     mesh = create_mesh()
@@ -266,6 +277,8 @@ def train(hyp: dict, opt) -> float:
 
     with mesh:
         state = replicate_tree(state, mesh)
+        if teacher_vars is not None:
+            teacher_vars = replicate_tree(teacher_vars, mesh)
 
     image_cache = None
     if device_cache:
@@ -365,7 +378,10 @@ def train(hyp: dict, opt) -> float:
                 t_b = time.time()
                 step_fn = train_steps[_random.choice(list(train_steps))]
                 imgs_arg = (image_cache, batch["images"]) if device_cache else batch["images"]
-                state, metrics = step_fn(state, imgs_arg, batch["targets"])
+                if teacher_vars is not None:
+                    state, metrics = step_fn(state, imgs_arg, batch["targets"], teacher_vars)
+                else:
+                    state, metrics = step_fn(state, imgs_arg, batch["targets"])
                 t_c = time.time()
                 t_wait += t_b - t_a
                 t_disp += t_c - t_b
@@ -374,11 +390,12 @@ def train(hyp: dict, opt) -> float:
                     m = jax.device_get(pm)
                     mloss = (mloss * n_logged + np.array([m["lbox"], m["lobj"], m["lcls"]])) / (n_logged + 1)
                     n_logged += 1
-                    skipped = "" if bool(m.get("grads_finite", True)) else " SKIPPED(non-finite grads)"
-                    n_skipped += 0 if not skipped else 1
+                    ok = bool(m.get("grads_finite", True))
+                    n_skipped += not ok
                     LOGGER.info(
                         f"epoch {epoch}/{opt.epochs - 1} batch {j}/{nb} "
-                        f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}{skipped}"
+                        f"box {m['lbox']:.4f} obj {m['lobj']:.4f} cls {m['lcls']:.4f}"
+                        f"{'' if ok else ' SKIPPED(non-finite grads)'}"
                     )
                 t_fetch += time.time() - t_c
                 pending = (i, metrics) if i % max(nb // 10, 1) == 0 else None

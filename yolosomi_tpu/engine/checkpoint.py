@@ -232,7 +232,11 @@ def load_artifact(path):
     obj = serialization.msgpack_restore(Path(path).read_bytes())
     anchors = obj.get("anchors")
     anchors = np.asarray(anchors, np.float32) if anchors is not None else None
-    if "params" not in obj:  # full checkpoint passed: take EMA
+    if "ema_params" in obj:
+        # full checkpoint passed: take EMA (the attempt_load contract).
+        # NB the old test was `"params" not in obj`, which never fires on a
+        # full checkpoint — inference on a .ckpt silently used the raw
+        # last-step weights instead of EMA.
         return checkpoint_variables(obj), anchors
     return {"params": obj["params"], "batch_stats": obj.get("batch_stats", {})}, anchors
 

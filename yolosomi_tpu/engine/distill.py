@@ -35,18 +35,6 @@ from yolosomi_tpu.losses import bce_with_logits
 from yolosomi_tpu.utils.iou import bbox_iou
 
 
-def _decode_boxes_level(p: jax.Array, anchors_px: jax.Array, stride: float) -> jax.Array:
-    """Raw level map (B, ny, nx, na, no) -> pixel xywh boxes (B, ny, nx, na, 4)."""
-    b, ny, nx, na, no = p.shape
-    y = jax.nn.sigmoid(p[..., :4].astype(jnp.float32))
-    gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
-    mesh = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]
-    xy = (y[..., 0:2] * 2.0 - 0.5 + mesh) * stride
-    wh = jnp.square(y[..., 2:4] * 2.0) * anchors_px.reshape(1, 1, 1, na, 2)
-    return jnp.concatenate([xy, wh], axis=-1)
-
-
 def distill_loss(
     student_preds: Sequence[jax.Array],
     teacher_preds: Sequence[jax.Array],
@@ -54,14 +42,22 @@ def distill_loss(
     strides,
     obj_thr: float = 0.25,
     temp: float = 1.0,
+    teacher_anchors_px=None,
 ):
     """Soft-target distillation loss across pyramid levels.
 
     Returns a scalar. Teacher activations are stop-gradient'd; box
     imitation is masked to teacher-confident cells so the student is not
-    dragged toward background noise.
-    """
+    dragged toward background noise. `teacher_anchors_px` decodes the
+    teacher's boxes with ITS OWN (possibly autoanchor-refined) anchors;
+    defaults to the student's."""
+    from yolosomi_tpu.models.heads import decode_boxes_level
+
     anchors_px = jnp.asarray(anchors_px, jnp.float32)
+    t_anchors = (
+        jnp.asarray(teacher_anchors_px, jnp.float32)
+        if teacher_anchors_px is not None else anchors_px
+    )
     total = jnp.zeros((), jnp.float32)
     for i, (sp, tp) in enumerate(zip(student_preds, teacher_preds)):
         sp = sp.astype(jnp.float32)
@@ -75,9 +71,11 @@ def distill_loss(
         kd_cls = (bce_with_logits(sp[..., 5:] / temp, t_cls) * w).sum() / (
             w.sum() * max(sp.shape[-1] - 5, 1) + 1e-6
         )
-        # boxes: CIoU imitation on the teacher's confident cells
-        sb = _decode_boxes_level(sp, anchors_px[i], float(strides[i]))
-        tb = _decode_boxes_level(tp, anchors_px[i], float(strides[i]))
+        # boxes: CIoU imitation on the teacher's confident cells, each
+        # model decoded with its own anchors (heads.decode_boxes_level —
+        # the same geometry the eval decode uses)
+        sb = decode_boxes_level(sp, anchors_px[i], float(strides[i]))
+        tb = decode_boxes_level(tp, t_anchors[i], float(strides[i]))
         m = (t_obj > obj_thr).astype(jnp.float32)
         ciou = bbox_iou(sb, tb, xywh=True, CIoU=True)
         kd_box = ((1.0 - ciou) * m).sum() / (m.sum() + 1e-6)
@@ -88,29 +86,36 @@ def distill_loss(
 def wrap_loss_with_distillation(
     base_loss: Callable,
     teacher_apply: Callable,
-    teacher_variables,
     meta,
     alpha: float = 1.0,
     obj_thr: float = 0.25,
+    teacher_anchors_px=None,
 ):
     """Wrap a ComputeLoss-style callable so the jitted train step also
     runs the frozen teacher and adds alpha * distill_loss.
 
     The returned callable has the (preds, targets) -> (total, comps)
-    contract that make_train_step expects, but needs the IMAGES too —
-    the trainer passes them via the `images` keyword when the loss
-    object advertises `needs_images = True`.
-    """
+    contract that make_train_step expects, but needs the IMAGES and the
+    teacher variables too — the trainer passes them when the loss object
+    advertises `needs_images`/`needs_aux`. Threading the teacher tree as
+    a step ARGUMENT (aux) matters on the remote-compile runtime: a
+    closure-captured tree is embedded as literals in the compile request
+    (a 134 MB bf16 flagship teacher breaks the HTTP relay), and under
+    --multi-scale it would be re-embedded per compiled size."""
 
-    def loss_fn(preds, targets, images=None):
+    def loss_fn(preds, targets, images=None, aux=None):
         total, comps = base_loss(preds, targets)
-        if images is None:
+        if images is None or aux is None:
             # callers without pixels (per-epoch val loss) get the plain
             # detection loss — KD is a train-step-only term
             return total, comps
-        t_preds = teacher_apply(teacher_variables, images)
-        kd = distill_loss(preds, t_preds, meta.anchors_px, meta.strides, obj_thr=obj_thr)
+        t_preds = teacher_apply(aux, images)
+        kd = distill_loss(
+            preds, t_preds, meta.anchors_px, meta.strides, obj_thr=obj_thr,
+            teacher_anchors_px=teacher_anchors_px,
+        )
         return total + alpha * kd * preds[0].shape[0], comps
 
     loss_fn.needs_images = True
+    loss_fn.needs_aux = True
     return loss_fn

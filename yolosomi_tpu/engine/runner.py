@@ -51,6 +51,7 @@ class Runner:
         ckpt_anchors = None
         if weights and Path(weights).exists():
             peek, ckpt_anchors = load_artifact(weights)
+            nc_changed = False
             if nc is None:
                 # infer nc from the checkpoint head shapes (the reference
                 # gets it from the pickled module; ours are bare pytrees)
@@ -58,7 +59,8 @@ class Runner:
                 if detected is not None and detected != self.meta.nc:
                     LOGGER.info(f"nc={detected} inferred from checkpoint (cfg said {self.meta.nc})")
                     nc = detected
-            if ckpt_anchors is not None or nc is not None:
+                    nc_changed = True
+            if ckpt_anchors is not None or nc_changed:
                 # adopt the artifact's (autoanchor-refined) anchors — the
                 # reference reads them from the pickled m.anchors buffer
                 anchors_arg = ckpt_anchors.tolist() if ckpt_anchors is not None else None

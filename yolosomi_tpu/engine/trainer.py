@@ -79,7 +79,9 @@ def make_train_step(
         cache, plan = images
         return mosaic_mixup_batch(cache, plan, device_mosaic)
 
-    def train_step(state: TrainState, images, targets):
+    needs_aux = getattr(loss_fn, "needs_aux", False)
+
+    def train_step(state: TrainState, images, targets, aux=None):
         images = _build_images(images)
         if device_preprocess is not None:
             # fused on-device HSV + flips (+normalize), replacing the host
@@ -107,8 +109,10 @@ def make_train_step(
             )
             if getattr(loss_fn, "needs_images", False):
                 # distillation wrapper: the frozen teacher's forward runs
-                # here, inside the same compiled step (engine/distill.py)
-                loss, comps = loss_fn(preds, targets, images=images)
+                # here, inside the same compiled step (engine/distill.py);
+                # the teacher tree arrives as the aux ARGUMENT, never as a
+                # closure constant (remote-compile literal-size limits)
+                loss, comps = loss_fn(preds, targets, images=images, aux=aux)
             else:
                 loss, comps = loss_fn(preds, targets)
             return loss, (comps, mutated["batch_stats"])
@@ -200,6 +204,12 @@ def make_train_step(
     # clean with --noval or donate=False). Enable on trusted runtimes for
     # the in-place update memory savings.
     donate_argnums = (0,) if donate else ()
+    if not needs_aux:
+        # keep the 3-arg signature for every non-distillation caller
+        base_step = train_step
+
+        def train_step(state, images, targets):  # noqa: F811
+            return base_step(state, images, targets)
     if mesh is not None:
         if device_mosaic is not None:
             # (cache replicated, plan batch-sharded per leaf)
@@ -218,6 +228,8 @@ def make_train_step(
             images_sharding,
             batch_sharding(mesh, 3),  # targets
         )
+        if needs_aux:
+            in_shardings = in_shardings + (replicate(mesh),)  # teacher tree
         return jax.jit(
             train_step, in_shardings=in_shardings, out_shardings=(replicate(mesh), replicate(mesh)),
             donate_argnums=donate_argnums,

@@ -122,6 +122,21 @@ class DecoupledDetect(nn.Module):
         ]
 
 
+def decode_boxes_level(p4: jax.Array, anchors_px: jax.Array, stride: float) -> jax.Array:
+    """The box-decode core: sigmoided first-4 channels of a raw level map
+    (B, ny, nx, na, >=4) -> pixel-space xywh (B, ny, nx, na, 4). Single
+    source of truth for the decode convention (eval decode + the
+    distillation box-imitation term use this same geometry)."""
+    b, ny, nx, na = p4.shape[:4]
+    y = jax.nn.sigmoid(p4[..., :4].astype(jnp.float32))
+    gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+    mesh = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]  # (1, ny, nx, 1, 2)
+    xy = (y[..., 0:2] * 2.0 - 0.5 + mesh) * stride
+    wh = jnp.square(y[..., 2:4] * 2.0) * anchors_px.reshape(1, 1, 1, na, 2)
+    return jnp.concatenate([xy, wh], axis=-1)
+
+
 def decode_level(p: jax.Array, anchors_px: jax.Array, stride: float) -> jax.Array:
     """Decode one raw level map (B, ny, nx, na, no) to pixel-space boxes.
 
@@ -130,13 +145,9 @@ def decode_level(p: jax.Array, anchors_px: jax.Array, stride: float) -> jax.Arra
     to obj/cls.
     """
     b, ny, nx, na, no = p.shape
-    y = jax.nn.sigmoid(p.astype(jnp.float32))
-    gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
-    mesh = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]  # (1, ny, nx, 1, 2)
-    xy = (y[..., 0:2] * 2.0 - 0.5 + mesh) * stride
-    wh = jnp.square(y[..., 2:4] * 2.0) * anchors_px.reshape(1, 1, 1, na, 2)
-    out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+    boxes = decode_boxes_level(p, anchors_px, stride)
+    rest = jax.nn.sigmoid(p[..., 4:].astype(jnp.float32))
+    out = jnp.concatenate([boxes, rest], axis=-1)
     # flatten (ny, nx, na) row-major: a free reshape. The reference orders
     # rows (na, ny, nx) (yolo.py:97) — NMS and mAP are row-order invariant,
     # and the transpose would materialize a full copy of the decode output.

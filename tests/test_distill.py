@@ -57,6 +57,47 @@ def test_distill_loss_grad_flows_to_student_only():
     assert all(bool(jnp.isfinite(g).all()) for g in gs)
 
 
+def test_level_mapped_distillation_p2_teacher_to_p3_student():
+    """A P3-P5 student distills from a P2-P5 teacher via stride-matched
+    level mapping (the yolo-somi-t-p3 <- flagship recipe): the teacher's
+    160^2 plane is skipped, each student level learns from the teacher
+    level sharing its stride."""
+    t_cfg = load_model_cfg(find_config("yolov5s-p2"))
+    t_cfg["width_multiple"], t_cfg["depth_multiple"] = 0.25, 0.34
+    t_model, t_meta = build_model(t_cfg, nc=3)
+    tv = init_model(t_model, t_meta, imgsz=64)
+    model, meta, sv = _mini()
+    assert len(t_meta.strides) == 4 and len(meta.strides) == 3
+
+    t_strides = [int(s) for s in t_meta.strides]
+    level_map = tuple(t_strides.index(int(s)) for s in meta.strides)
+    assert level_map == (1, 2, 3)  # student P3-P5 -> teacher levels 1..3
+
+    def base(preds, targets):  # detection loss off: isolate the KD term
+        return jnp.zeros(()), jnp.zeros(3)
+
+    def teacher_apply(variables, images):
+        return t_model.apply(variables, images, train=False)
+
+    loss_fn = wrap_loss_with_distillation(
+        base, teacher_apply, meta, alpha=1.0,
+        teacher_anchors_px=np.asarray(t_meta.anchors_px)[list(level_map)],
+        level_map=level_map,
+    )
+    optimizer = make_optimizer(dict(DEFAULT_HYP), nb=4, epochs=3, batch_size=2)
+    state = create_train_state(dict(sv), optimizer)
+    step = make_train_step(model, loss_fn, optimizer)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    targets = jnp.asarray(pad_targets([np.array([[0, 0.5, 0.5, 0.3, 0.3]], np.float32)] * 2, 8))
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state, metrics = step(state, images, targets, tv)
+    assert np.isfinite(float(metrics["loss"])) and float(metrics["loss"]) > 0
+    assert bool(metrics["grads_finite"])
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.abs(p1 - p0).max()) > 0, "level-mapped KD did not move the student"
+
+
 def test_distilled_train_step_moves_student_toward_teacher():
     """Zero base loss isolates the KD plumbing: teacher fwd inside the
     jitted step, gradients through the student only, KD declining."""

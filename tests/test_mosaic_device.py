@@ -21,6 +21,14 @@ from yolosomi_tpu.data.datasets import DataLoader, DetectionDataset, collate_pla
 from yolosomi_tpu.ops.mosaic_device import build_device_cache, mosaic_mixup_batch
 
 DATA = "datasets/shapes/train/images"
+if not __import__("os").path.isdir(DATA):  # generate the fixture dataset
+    import tempfile
+
+    from tools.make_shapes_dataset import main as _make_shapes
+
+    _root = tempfile.mkdtemp(prefix="shapes_")
+    _make_shapes(["--out", _root, "--n", "12", "--val-n", "2"])
+    DATA = f"{_root}/train/images"
 HYP = {
     "mosaic": 1.0, "mixup": 0.0, "copy_paste": 0.0,
     "degrees": 5.0, "translate": 0.1, "scale": 0.4, "shear": 2.0, "perspective": 0.0,

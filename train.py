@@ -236,17 +236,36 @@ def train(hyp: dict, opt) -> float:
         t_cfg = load_model_cfg(find_config(getattr(opt, "teacher_cfg", "") or opt.cfg))
         t_model, t_meta = build_model(
             t_cfg, nc=nc,
-            anchors=t_anchors.reshape(len(meta.strides), -1).tolist() if t_anchors is not None else None,
+            anchors=t_anchors.reshape(t_anchors.shape[0], -1).tolist() if t_anchors is not None else None,
             dtype=dtype,
         )
-        assert len(t_meta.strides) == len(meta.strides), "teacher/student level count differs"
+        # level-mapped distillation: each student level learns from the
+        # teacher level with the SAME stride, so a P3-P5 student (e.g.
+        # yolo-somi-t-p3) distills from the P2-P5 flagship by skipping the
+        # teacher's 160^2 plane.
+        t_strides = [int(s) for s in t_meta.strides]
+        try:
+            level_map = tuple(t_strides.index(int(s)) for s in meta.strides)
+        except ValueError:
+            raise SystemExit(
+                f"--teacher: student strides {[int(s) for s in meta.strides]} are not a "
+                f"subset of teacher strides {t_strides} — no level mapping exists")
+        if np.asarray(t_meta.anchors_px).shape[1] != np.asarray(meta.anchors_px).shape[1]:
+            raise SystemExit(
+                "--teacher: anchors-per-level differ between teacher "
+                f"({np.asarray(t_meta.anchors_px).shape[1]}) and student "
+                f"({np.asarray(meta.anchors_px).shape[1]}) — soft targets are per-anchor")
+        if level_map != tuple(range(len(meta.strides))):
+            LOGGER.info(f"distillation: level map student->teacher = {list(level_map)} "
+                        f"(teacher strides {t_strides})")
 
         def teacher_apply(variables, images):
             return t_model.apply(variables, images, train=False)
 
         loss_fn = wrap_loss_with_distillation(
             loss_fn, teacher_apply, meta, alpha=getattr(opt, "distill", 1.0),
-            teacher_anchors_px=t_meta.anchors_px,
+            teacher_anchors_px=np.asarray(t_meta.anchors_px)[list(level_map)],
+            level_map=level_map,
         )
         # one device-resident copy, threaded through the step as an ARG
         # (a closure constant would be re-embedded per compiled program)

@@ -90,9 +90,16 @@ def wrap_loss_with_distillation(
     alpha: float = 1.0,
     obj_thr: float = 0.25,
     teacher_anchors_px=None,
+    level_map=None,
 ):
     """Wrap a ComputeLoss-style callable so the jitted train step also
     runs the frozen teacher and adds alpha * distill_loss.
+
+    `level_map[i]` names the TEACHER pyramid level that student level i
+    learns from — built by train.py by matching strides, so a P3-P5
+    student (e.g. yolo-somi-t-p3) distills from the P2-P5 flagship by
+    skipping the teacher's 160^2 plane. `teacher_anchors_px` must
+    already be indexed to the student's levels. None = identity.
 
     The returned callable has the (preds, targets) -> (total, comps)
     contract that make_train_step expects, but needs the IMAGES and the
@@ -110,6 +117,8 @@ def wrap_loss_with_distillation(
             # detection loss — KD is a train-step-only term
             return total, comps
         t_preds = teacher_apply(aux, images)
+        if level_map is not None:
+            t_preds = [t_preds[j] for j in level_map]
         kd = distill_loss(
             preds, t_preds, meta.anchors_px, meta.strides, obj_thr=obj_thr,
             teacher_anchors_px=teacher_anchors_px,

@@ -828,3 +828,154 @@ def test_full_yolov5s_oracle_forward(v5s_oracle_pair):
     ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, 3, 85)
     np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
     np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# FULL FLAGSHIP oracle: the YOLO-SOMI graph through the reference's own
+# Model/parse_model/blocks vs ours, shared weights via the converter.
+#
+# The reference cannot build its own flagship as shipped — three latent
+# defects, each verified here on this checkout:
+#   (1) YOLO-SOMI.yaml spells the head blocks C2fEACBAM, a class that does
+#       not exist (actual: C2fEMACBAM, common.py:3594) -> NameError;
+#   (2) even aliased, parse_model has NO rewrite rule for C2fEMACBAM, so
+#       rows like [256] reach the ctor without c1/n -> TypeError, and the
+#       DecoupledDetect branch references an undefined name `Segment`
+#       (yolo.py:1620) -> NameError;
+#   (3) EMACBAMBottleneck.forward pipes the (b*g, c/g, h+w, 1) pooled
+#       profile into conv_spatial = Conv2d(2, 1, 7) (common.py:918,937),
+#       which crashes whenever c2 != 2*factor — i.e. at EVERY width the
+#       flagship YAML produces.
+# The fixture patches exactly those three: C2f -> C2fEMACBAM rebind (same
+# ctor contract; C2f sits in both rewrite lists), a Segment sentinel, and
+# our repaired EMACBAM block in torch form (the documented interpretation
+# shared by models/layers.py and the ONNX mirror). Everything else —
+# parse_model, Conv, C2fCBAM/CBAM, ODConv_3rd, SEAM, SPPF, BiFPN,
+# DecoupledDetect/Decouple, stride calibration — is the reference's own
+# code.
+# --------------------------------------------------------------------------
+
+FLAGSHIP_ANCHORS = [
+    [4, 5, 8, 10, 13, 16, 23, 29],
+    [30, 33, 38, 48, 62, 45, 59, 80],
+    [90, 70, 116, 90, 156, 128, 100, 140],
+    [200, 180, 250, 250, 300, 150, 150, 300],
+]
+
+
+@pytest.fixture(scope="module")
+def flagship_oracle_pair():
+    import copy
+    import yaml as _yaml
+
+    import models.common as ref_common
+    from yolosomi_tpu.utils.torch_mirror import TEMACBAMBottleneck
+
+    nc = 3
+    cfg = copy.deepcopy(load_model_cfg(find_config("yolo-somi")))
+    cfg["nc"] = nc
+    cfg["depth_multiple"] = 0.33
+    cfg["width_multiple"] = 0.25
+    cfg["anchors"] = FLAGSHIP_ANCHORS
+
+    refcfg = copy.deepcopy(cfg)
+    for section in ("backbone", "head"):
+        for row in refcfg[section]:
+            if row[2] == "C2fEMACBAM":
+                row[2] = "C2f"
+
+    class _RepairedEMACBAM(TEMACBAMBottleneck):
+        def __init__(self, c1, c2, shortcut=True, g=1, e=0.5, k=(3, 3), ratio=16, kernel_size=7, factor=8):
+            super().__init__(c2, e=e, factor=factor)
+
+    saved = {
+        "C2f": getattr(ref_yolo, "C2f", None),
+        "Segment": getattr(ref_yolo, "Segment", None),
+        "EMACBAM": ref_common.EMACBAMBottleneck,
+    }
+    ref_yolo.C2f = ref_common.C2fEMACBAM
+    ref_yolo.Segment = type("Segment", (), {})
+    ref_common.EMACBAMBottleneck = _RepairedEMACBAM
+    ref_yolo.EMACBAMBottleneck = _RepairedEMACBAM
+    try:
+        with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+            _yaml.safe_dump(refcfg, f)
+            ref_yaml = f.name
+        ref_model = ref_yolo.Model(ref_yaml, ch=3, nc=nc)
+        sd = _randomize_sd(ref_model)
+        ref_model.eval()
+
+        model, meta = build_model(cfg, nc=nc)
+        variables = init_model(model, meta, imgsz=128)
+        variables = convert_state_dict(sd, variables, strict=True)
+        yield ref_model, sd, model, meta, variables
+    finally:
+        for name, val in (("C2f", saved["C2f"]), ("Segment", saved["Segment"])):
+            if val is None:
+                delattr(ref_yolo, name)
+            else:
+                setattr(ref_yolo, name, val)
+        ref_common.EMACBAMBottleneck = saved["EMACBAM"]
+        ref_yolo.EMACBAMBottleneck = saved["EMACBAM"]
+
+
+def test_full_flagship_oracle_coverage(flagship_oracle_pair):
+    """strict=True in the fixture already asserts every one of OUR leaves
+    is filled from the reference state_dict. The reverse direction: the
+    only reference params NOT consumed are ODConv's `reduction` Linear —
+    dead code in the reference (defined at common.py:4523, never used in
+    Attention.forward, which uses `fc`)."""
+    ref_model, sd, model, meta, variables = flagship_oracle_pair
+    from yolosomi_tpu.utils.torch_convert import _torch_key_candidates
+
+    used = set()
+    for collection in ("params", "batch_stats"):
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables.get(collection, {}))
+        for path, leaf in flat:
+            keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+            for tk in _torch_key_candidates(keys, collection):
+                if tk in sd:
+                    used.add(tk)
+                    break
+    unused = sorted(
+        k for k in sd
+        if k not in used and "num_batches_tracked" not in k and "anchor" not in k
+    )
+    assert all(".conv.reduction." in k for k in unused), unused
+    assert len(unused) == 8, unused  # 4 ODConv sites x (weight, bias)
+
+
+def test_full_flagship_oracle_forward(flagship_oracle_pair):
+    """The SOMI flagship forward: reference Model (its own parse_model,
+    ODConv_3rd, C2fCBAM, SEAM, SPPF, BiFPN, DecoupledDetect) vs our
+    build_model, same weights, same input — raw maps and decoded boxes."""
+    ref_model, sd, model, meta, variables = flagship_oracle_pair
+    rng = np.random.default_rng(91)
+    x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        r_z, r_maps = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    j_maps = model.apply(variables, jnp.asarray(x), False)
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}")
+
+    na = meta.anchors_px.shape[1]
+    dec = np.asarray(our_decode(j_maps, meta.anchors_px, meta.strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, na, nc_no := 3 + 5)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=2e-1, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_decouple_taper_matches_torch_linspace():
+    """decouple_taper replicates torch.linspace(1,0,4)-in-f32 exactly —
+    the c_=128 case (yolo-somi-s-width heads) truncates to 91, not the 92
+    float64 fractions give (reference: yolo.py:1049-1051)."""
+    from yolosomi_tpu.models.heads import decouple_taper
+
+    for c1 in (64, 128, 192, 256, 512):
+        c_ = min(c1, 256)
+        for na in (3, 4):
+            ref = [int(x + na * 5) for x in (c_ - na * 5) * torch.linspace(1, 0, 4)]
+            assert decouple_taper(c_, na * 5) == ref, (c1, na)

@@ -20,9 +20,23 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from yolosomi_tpu.models.layers import Conv, ConvRaw
+
+
+def decouple_taper(c_: int, na5: int) -> list:
+    """The Decouple branch channel taper (reference: yolo.py:1049
+    `[int(x + na*5) for x in (c_-na*5)*torch.linspace(1,0,4)]`).
+    torch.linspace(1,0,4) is evaluated in float32 and builds interior
+    points symmetrically from both ends with step = f32(1/3); the int()
+    truncation is sensitive to those exact f32 values (c_=128 gives
+    [128, 91, 56, 20] — NOT 92 as float64 fractions would), so replicate
+    the arithmetic bit-for-bit."""
+    step = np.float32(1) / np.float32(3)
+    vals = (np.float32(1), np.float32(1) - step, step, np.float32(0))
+    return [int(np.float32(c_ - na5) * v + np.float32(na5)) for v in vals]
 
 Dtype = Any
 
@@ -76,8 +90,7 @@ class Decouple(nn.Module):
         c_ = min(c1, 256)
         na5 = self.na * 5
         # channel taper c_ -> na*5 in 4 linspace steps; b-branch uses steps 1,2
-        # (reference: yolo.py:1049 `c = [int(x + na*5) for x in (c_-na*5)*linspace(1,0,4)]`)
-        taper = [int(t * (c_ - na5) + na5) for t in (1.0, 2.0 / 3.0, 1.0 / 3.0, 0.0)]
+        taper = decouple_taper(c_, na5)
         b, ny, nx, _ = x.shape
 
         stem = Conv(c_, 1, dtype=self.dtype, name="a")(x, train)

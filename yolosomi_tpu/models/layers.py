@@ -51,6 +51,23 @@ KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # compiled program.
 QUANT_MODE: list = [None]
 
+# int8 exclusion: regex patterns matched against the module's slash-joined
+# flax path (e.g. "layers_35/m0/cv/conv"). A ConvRaw whose path matches any
+# pattern stays in the float dtype even under quant_mode("int8") — the
+# per-layer sensitivity lever (detect-head convs are the usual exclusion;
+# PERF.md round-3 int8 accuracy bound names this as the next lever).
+QUANT_EXCLUDE: list = [()]
+
+
+def _quant_excluded(path: Tuple[str, ...]) -> bool:
+    pats = QUANT_EXCLUDE[0]
+    if not pats:
+        return False
+    joined = "/".join(path)
+    import re
+
+    return any(re.search(p, joined) for p in pats)
+
 
 def autopad(k, p=None, d: int = 1):
     """'same'-style padding for odd kernels (reference: common.py:43-50)."""
@@ -103,7 +120,11 @@ class ConvRaw(nn.Module):
                 init_fn=lambda: jnp.zeros(()),
                 reduce_fn=jnp.maximum,
             )
-        elif mode == "int8" and self.has_variable("quant", "a_scale"):
+        elif (
+            mode == "int8"
+            and self.has_variable("quant", "a_scale")
+            and not _quant_excluded(self.scope.path)
+        ):
             return self._int8_forward(x, conv)
         return conv(x)
 
@@ -503,15 +524,16 @@ class SEAM(nn.Module):
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name=name
             )
 
-        # patch-embed depthwise conv + GELU + BN
+        # patch-embed depthwise conv + GELU + BN. Exact (erf) GELU: the
+        # reference uses torch nn.GELU's default, not the tanh approximation
         y = ConvRaw(c, 3, 1, g=c, use_bias=True, dtype=self.dtype, name="dcov_patch")(x)
-        y = norm("bn_patch")(nn.gelu(y))
+        y = norm("bn_patch")(nn.gelu(y, approximate=False))
         for i in range(self.n):
             r = ConvRaw(c, 3, 1, g=c, use_bias=True, dtype=self.dtype, name=f"dw{i}")(y)
-            r = norm(f"bn_dw{i}")(nn.gelu(r))
+            r = norm(f"bn_dw{i}")(nn.gelu(r, approximate=False))
             y = y + r  # residual depthwise mixer
             y = ConvRaw(c, 1, 1, use_bias=True, dtype=self.dtype, name=f"pw{i}")(y)
-            y = norm(f"bn_pw{i}")(nn.gelu(y))
+            y = norm(f"bn_pw{i}")(nn.gelu(y, approximate=False))
         v = jnp.mean(y, axis=(1, 2))
         v = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype, name="fc1")(v)
         v = nn.relu(v)

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 
 from yolosomi_tpu.utils.general import LOGGER
-from yolosomi_tpu.utils.torch_convert import _path_to_torch_key
+from yolosomi_tpu.utils.torch_convert import _torch_key_candidates
 
 
 def _to_torch_leaf(v: np.ndarray, torch_shape: Tuple[int, ...]) -> np.ndarray:
@@ -64,7 +64,10 @@ def state_dict_from_variables(variables: dict, tmodel) -> Tuple[dict, List[str]]
         flat, _ = jax.tree_util.tree_flatten_with_path(variables.get(collection, {}))
         for path, leaf in flat:
             keys = [p.key if hasattr(p, "key") else str(p) for p in path]
-            ours[_path_to_torch_key(keys, collection)] = np.asarray(leaf, np.float32)
+            # register every candidate name (ODConv bias-bank ambiguity);
+            # the torch model's own key set picks the right one below
+            for tk in _torch_key_candidates(keys, collection):
+                ours.setdefault(tk, np.asarray(leaf, np.float32))
 
     sd = tmodel.state_dict()
     out, missing = {}, []

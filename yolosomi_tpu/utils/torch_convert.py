@@ -54,6 +54,23 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     # reference's shared_MLP Sequential slots 0 and 2 (common.py:339-360)
     key = key.replace(".channel_attention.fc1", ".channel_attention.shared_MLP.0")
     key = key.replace(".channel_attention.fc2", ".channel_attention.shared_MLP.2")
+    # SEAM (reference common.py:8448-8471): the depthwise-residual stack is
+    # one nn.Sequential named DCovN — patch conv at [0], its BN at [2], then
+    # per repeat i a Sequential at [3+i] holding Residual(fn=[conv,GELU,BN]),
+    # a pointwise conv at [1] and its BN at [3]
+    key = key.replace(".dcov_patch", ".DCovN.0")
+    key = key.replace(".bn_patch", ".DCovN.2")
+    key = re.sub(r"\.bn_dw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.0.fn.2", key)
+    key = re.sub(r"\.bn_pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.3", key)
+    key = re.sub(r"\.dw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.0.fn.0", key)
+    key = re.sub(r"\.pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.1", key)
+    # SE-style two-layer MLPs (SEAM common.py:8470, se_block :2879,
+    # EMACBAMBottleneck :910): the reference wraps them in fc = Sequential
+    # with the linear/1x1-conv layers at slots 0 and 2
+    if key.endswith(".fc1"):
+        key = key[: -len(".fc1")] + ".fc.0"
+    elif key.endswith(".fc2"):
+        key = key[: -len(".fc2")] + ".fc.2"
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]
@@ -79,6 +96,22 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     if leaf in ("weight", "w"):  # BiFPN fusion weights
         return key + "." + leaf
     return key + "." + leaf
+
+
+def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
+    """All plausible torch keys for one of our tree paths, primary first.
+
+    The single ambiguity: a flax leaf `X/conv/bias`. For a bare ConvRaw
+    named 'conv' the torch module is a raw nn.Conv2d (key X.bias), but for
+    ODConv the torch module keeps a (K, c2) candidate-bias bank at
+    X.conv.bias (reference common.py:4529) — same derivation path, two
+    different torch owners. Shape validation at the call site disambiguates."""
+    primary = _path_to_torch_key(path, collection)
+    out = [primary]
+    if path[-1] == "bias" and len(path) >= 2 and path[-2] == "conv":
+        joined = primary[: -len(".bias")]
+        out.append(f"{joined}.conv.bias")
+    return out
 
 
 def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...]) -> np.ndarray:
@@ -113,16 +146,21 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], variables: dict, strict:
         new_leaves = []
         for path, leaf in flat:
             keys = [p.key if hasattr(p, "key") else str(p) for p in path]
-            tk = _path_to_torch_key(keys, collection)
-            if tk in torch_sd:
-                try:
-                    new_leaves.append(jnp.asarray(_convert_leaf(torch_sd[tk], leaf.shape)))
-                    matched += 1
+            hit = None
+            err = None
+            for tk in _torch_key_candidates(keys, collection):
+                if tk not in torch_sd:
                     continue
+                try:
+                    hit = jnp.asarray(_convert_leaf(torch_sd[tk], leaf.shape))
+                    break
                 except ValueError as e:
-                    misses.append(f"{tk}: {e}")
-            else:
-                misses.append(tk)
+                    err = f"{tk}: {e}"
+            if hit is not None:
+                new_leaves.append(hit)
+                matched += 1
+                continue
+            misses.append(err or _path_to_torch_key(keys, collection))
             missed += 1
             new_leaves.append(leaf)
         out[collection] = jax.tree_util.tree_unflatten(treedef, new_leaves)

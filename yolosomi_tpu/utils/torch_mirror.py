@@ -191,14 +191,15 @@ class TODConv2d(nn.Module):
     ODConv2d (reference: common.py:4495-4610): K candidate kernels mixed
     per-sample by four attention factors, then the grouped-conv trick
     (view(1, B*C, H, W), groups=B — the reference's own lowering).
-    The candidate bias bank lives on the parent wrapper (the converter
-    maps our `conv/bias` leaf to `model.<i>.bias`)."""
+    Key layout matches the reference's ODConv2d_3rd: the candidate kernel
+    AND bias banks live here (X.conv.weight / X.conv.bias)."""
 
     def __init__(self, c1, c2, k=3, s=1, K=4, r=1.0 / 16.0):
         super().__init__()
         self.k, self.s, self.K, self.c1, self.c2 = k, s, K, c1, c2
         hidden = max(int(c1 * r), 16)
         self.weight = nn.Parameter(torch.zeros(K, c2, c1, k, k))
+        self.bias = nn.Parameter(torch.zeros(K, c2))
         self.fc = nn.Linear(c1, hidden, bias=False)
         # flax momentum 0.9 == torch momentum 0.1 (decay conventions)
         self.bn = nn.BatchNorm1d(hidden, eps=1e-5, momentum=0.1)
@@ -207,7 +208,8 @@ class TODConv2d(nn.Module):
         self.fc_c = nn.Linear(hidden, c1)
         self.fc_w = nn.Linear(hidden, K)
 
-    def forward(self, x, bias_bank):
+    def forward(self, x):
+        bias_bank = self.bias
         b, c1, h, w = x.shape
         k = self.k
         v = x.mean((2, 3))
@@ -236,43 +238,53 @@ class TODConv(nn.Module):
     def __init__(self, c1, c2, k=3, s=1, K=4):
         super().__init__()
         self.conv = TODConv2d(c1, c2, k, s, K)
-        self.bias = nn.Parameter(torch.zeros(K, c2))
         self.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
         self.act = nn.SiLU()
 
     def forward(self, x):
-        return self.act(self.bn(self.conv(x, self.bias)))
+        return self.act(self.bn(self.conv(x)))
+
+
+class _TResidual(nn.Module):
+    """Reference `Residual` wrapper (common.py): x + fn(x), key `fn`."""
+
+    def __init__(self, fn):
+        super().__init__()
+        self.fn = fn
+
+    def forward(self, x):
+        return x + self.fn(x)
 
 
 class TSEAM(nn.Module):
     """Spatially-enhanced attention (mirrors models/layers.py SEAM;
     reference: common.py:8448-8505): depthwise-residual stack, SE-style
-    MLP, exp-of-sigmoid channel gate."""
+    MLP, exp-of-sigmoid channel gate. State-dict layout is byte-compatible
+    with the reference SEAM (DCovN / fc Sequentials)."""
 
     def __init__(self, c, n=1, reduction=16):
         super().__init__()
-        self.n = n
-        self.dcov_patch = nn.Conv2d(c, c, 3, 1, 1, groups=c)
-        self.bn_patch = nn.BatchNorm2d(c, eps=1e-3, momentum=0.03)
-        self.dw = nn.ModuleList(nn.Conv2d(c, c, 3, 1, 1, groups=c) for _ in range(n))
-        self.bn_dw = nn.ModuleList(nn.BatchNorm2d(c, eps=1e-3, momentum=0.03) for _ in range(n))
-        self.pw = nn.ModuleList(nn.Conv2d(c, c, 1) for _ in range(n))
-        self.bn_pw = nn.ModuleList(nn.BatchNorm2d(c, eps=1e-3, momentum=0.03) for _ in range(n))
+        bn = lambda: nn.BatchNorm2d(c, eps=1e-3, momentum=0.03)  # noqa: E731
+        self.DCovN = nn.Sequential(
+            nn.Conv2d(c, c, 3, 1, 1, groups=c),
+            nn.GELU(),
+            bn(),
+            *[
+                nn.Sequential(
+                    _TResidual(nn.Sequential(nn.Conv2d(c, c, 3, 1, 1, groups=c), nn.GELU(), bn())),
+                    nn.Conv2d(c, c, 1),
+                    nn.GELU(),
+                    bn(),
+                )
+                for _ in range(n)
+            ],
+        )
         mid = max(c // reduction, 1)
-        self.fc1 = nn.Linear(c, mid, bias=False)
-        self.fc2 = nn.Linear(mid, c, bias=False)
+        self.fc = nn.Sequential(nn.Linear(c, mid, bias=False), nn.ReLU(), nn.Linear(mid, c, bias=False))
 
     def forward(self, x):
-        # tanh-approximate GELU: flax nn.gelu's default, which the flax
-        # SEAM uses — torch defaults to the exact erf form
-        gelu = lambda t: torch.nn.functional.gelu(t, approximate="tanh")  # noqa: E731
-        y = self.bn_patch(gelu(self.dcov_patch(x)))
-        for i in range(self.n):
-            r = self.bn_dw[i](gelu(self.dw[i](y)))
-            y = y + r
-            y = self.bn_pw[i](gelu(self.pw[i](y)))
-        v = y.mean((2, 3))
-        v = self.fc2(torch.relu(self.fc1(v)))
+        y = self.DCovN(x)
+        v = self.fc(y.mean((2, 3)))
         gate = torch.exp(torch.sigmoid(v))
         return x * gate[:, :, None, None]
 
@@ -289,8 +301,11 @@ class TEMACBAMBottleneck(nn.Module):
         self.cv1 = nn.Conv2d(c2, c_, 3, 1, 1)
         self.cv2 = nn.Conv2d(c_, c2, 3, 1, 1)
         gch = max(c2 // factor, 1)
-        self.fc1 = nn.Linear(c2, gch, bias=False)
-        self.fc2 = nn.Linear(gch, c2, bias=False)
+        # reference key layout (common.py:910-914): fc = Sequential of 1x1
+        # convs at slots 0 and 2
+        self.fc = nn.Sequential(
+            nn.Conv2d(c2, gch, 1, bias=False), nn.ReLU(), nn.Conv2d(gch, c2, 1, bias=False)
+        )
         self.conv_spatial = nn.Conv2d(gch, 1, (7, 1), padding=(3, 0), bias=False)
         self.gn = nn.GroupNorm(c2, c2, eps=1e-5)
 
@@ -299,11 +314,9 @@ class TEMACBAMBottleneck(nn.Module):
         b, c, h, w = y.shape
         g = self.factor
         gch = c // g
-        avg = y.mean((2, 3))
-        mx = y.amax((2, 3))
-        gate_c = torch.sigmoid(
-            self.fc2(torch.relu(self.fc1(avg))) + self.fc2(torch.relu(self.fc1(mx)))
-        )
+        avg = y.mean((2, 3), keepdim=True)
+        mx = y.amax(2, keepdim=True).amax(3, keepdim=True)
+        gate_c = torch.sigmoid(self.fc(avg) + self.fc(mx))[:, :, 0, 0]
         y = y * gate_c[:, :, None, None]
         gy = y.view(b, g, gch, h, w)
         ph = gy.mean(4)  # (b, g, gch, h)
@@ -359,7 +372,9 @@ class TDecouple(nn.Module):
         self.nc, self.na = nc, na
         c_ = min(c1, 256)
         na5 = na * 5
-        taper = [int(t * (c_ - na5) + na5) for t in (1.0, 2.0 / 3.0, 1.0 / 3.0, 0.0)]
+        from yolosomi_tpu.models.heads import decouple_taper
+
+        taper = decouple_taper(c_, na5)
         self.a = TConv(c1, c_, 1, 1)
         self.b1 = TConv(c_, taper[1], 3, 1)
         self.b2 = TConv(taper[1], taper[2], 3, 1)

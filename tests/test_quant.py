@@ -85,3 +85,51 @@ def test_model_int8_end_to_end():
     assert np.abs(out_n[..., 4:] - ref_n[..., 4:]).max() < 0.1
     # box centers within a couple of pixels at 64px
     assert np.abs(out_n[..., :2] - ref_n[..., :2]).max() < 3.0
+
+
+def test_int8_exclude_paths():
+    """Per-layer exclusion (PERF.md: the detect-head sensitivity lever):
+    exclude-everything reproduces the float output exactly; excluding only
+    the head keeps the backbone quantized (differs from float) while the
+    head convs run float (differs from all-int8)."""
+    from yolosomi_tpu.models.yolo import build_model, init_model
+
+    cfg = {
+        "nc": 3,
+        "depth_multiple": 0.33,
+        "width_multiple": 0.125,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "Conv", [64, 6, 2, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "C3", [128]],
+            [-1, 1, "Conv", [256, 3, 2]],
+        ],
+        "head": [[[-1], 1, "Detect", ["nc", "anchors"]]],
+    }
+    model, meta = build_model(cfg)
+    variables = init_model(model, meta, imgsz=64)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref = np.asarray(model.apply(variables, x, train=False)[0])
+    vq = dict(variables, quant=calibrate(model, variables, [x]))
+
+    def run(exclude):
+        with quant_mode("int8", exclude=exclude):
+            fn = jax.jit(lambda v_, x_: model.apply(v_, x_, train=False)).lower(vq, x).compile()
+        return np.asarray(fn(vq, x)[0])
+
+    full = run(())
+    none = run((r".",))  # matches every path -> pure float program
+    head_key = f"layers_{len(model.layers) - 1}"
+    head_fp = run((rf"^{head_key}/",))
+
+    # exclude-everything == the float program up to jit-vs-eager
+    # reassociation noise; quantization error is orders louder
+    jit_noise = np.abs(none - ref).max()
+    assert jit_noise < 1e-5, jit_noise
+    assert np.abs(full - ref).max() > 100 * max(jit_noise, 1e-9), "int8 did not engage"
+    assert np.abs(head_fp - ref).max() > 100 * max(jit_noise, 1e-9), "backbone not quantized"
+    assert np.abs(head_fp - full).max() > 100 * max(jit_noise, 1e-9), "head exclusion had no effect"
+    # head-float output closer to the float reference than all-int8
+    assert np.abs(head_fp - ref).mean() < np.abs(full - ref).mean()

@@ -54,6 +54,7 @@ def run(
     plots=False,
     shard_spatial=1,
     int8=False,
+    int8_exclude=(),
     runner: Runner = None,
     dataloader: DataLoader = None,
     names=None,
@@ -94,9 +95,16 @@ def run(
         # quantization error (PERF.md round-3 accuracy bound)
         from yolosomi_tpu.ops.quant import quantized_infer_fn
 
+        # "head" expands to the detect head's module prefix — the usual
+        # sensitivity exclusion (head convs carry the box/cls logits, where
+        # quantization error lands directly on the output)
+        exclude = tuple(
+            rf"^layers_{len(runner.model.layers) - 1}/" if p == "head" else p
+            for p in int8_exclude
+        )
         calib = next(iter(dataloader))[0]
         qfn = quantized_infer_fn(
-            runner, calib, conf_thres=conf_thres, iou_thres=iou_thres,
+            runner, calib, exclude=exclude, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=True, max_det=max_det, exact=True, max_nms=30000,
         )
         infer = lambda variables, x: qfn(x)  # noqa: E731
@@ -258,6 +266,10 @@ def parse_opt(argv=None):
     parser.add_argument("--device", type=str, default="", help="jax platform: cpu or tpu")
     parser.add_argument("--alpha-iou", action="store_true")
     parser.add_argument("--int8", action="store_true", help="post-training int8 eval (calibrates on the first val batch)")
+    parser.add_argument(
+        "--int8-exclude", nargs="+", default=[], metavar="REGEX",
+        help="module-path regexes kept in float under --int8 ('head' = the detect head)",
+    )
     parser.add_argument("--shard-spatial", type=int, default=1,
                         help="split activations along H over N devices (1280px+ inputs)")
     parser.add_argument("--plots", action="store_true")

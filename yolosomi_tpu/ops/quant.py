@@ -26,18 +26,25 @@ from typing import Iterable
 import jax
 import jax.numpy as jnp
 
-from yolosomi_tpu.models.layers import QUANT_MODE
+from yolosomi_tpu.models.layers import QUANT_EXCLUDE, QUANT_MODE
 
 
 @contextlib.contextmanager
-def quant_mode(mode):
-    """Trace-time switch; wrap model.apply (or its jit) in this."""
+def quant_mode(mode, exclude=()):
+    """Trace-time switch; wrap model.apply (or its jit) in this.
+
+    exclude: regex patterns matched against each ConvRaw's slash-joined
+    flax path; matching convs stay float even in int8 mode (per-layer
+    sensitivity exclusion — e.g. the detect-head convs)."""
     prev = QUANT_MODE[0]
+    prev_ex = QUANT_EXCLUDE[0]
     QUANT_MODE[0] = mode
+    QUANT_EXCLUDE[0] = tuple(exclude)
     try:
         yield
     finally:
         QUANT_MODE[0] = prev
+        QUANT_EXCLUDE[0] = prev_ex
 
 
 def _stats_to_scales(tree):
@@ -81,17 +88,18 @@ def calibrate(model, variables, batches: Iterable, train: bool = False):
     return _stats_to_scales(stats)
 
 
-def quantized_infer_fn(runner, calib_images, **nms_kw):
+def quantized_infer_fn(runner, calib_images, exclude=(), **nms_kw):
     """Build a jitted int8 end-to-end inference fn for a Runner:
     calibrates on `calib_images` (uint8 NHWC), then returns
-    fn(images_u8) -> (B, max_det, 6) detections with int8 convs."""
+    fn(images_u8) -> (B, max_det, 6) detections with int8 convs.
+    `exclude`: path regexes kept in float (see quant_mode)."""
     variables = runner.variables
     quant = calibrate(runner.model, variables, [calib_images])
     variables_q = dict(variables)
     variables_q["quant"] = quant
     from yolosomi_tpu.ops.nms import non_max_suppression
 
-    with quant_mode("int8"):
+    with quant_mode("int8", exclude=exclude):
 
         @jax.jit
         def fn(images):

@@ -14,6 +14,15 @@ export.py:50-251):
                   (utils/torch_mirror.py) + torch's ONNX serializer —
                   reference counterpart export.py:64-130; covers the
                   yolov5-family graphs (mirrors exist for their blocks)
+    tfjs        : TensorFlow.js graph-model dir (model.json + weight
+                  shards). jax2tf's XlaCallModule graph is opaque to a
+                  tfjs runtime, so this leg goes through the TF-ops
+                  mirror (utils/tf_mirror.py — the counterpart of the
+                  reference's models/tf.py re-port, parity-tested against
+                  the flax model) and writes the tfjs wire format from
+                  its frozen Const-bearing GraphDef — reference
+                  counterpart export.py:246-263 (which shells out to the
+                  absent tensorflowjs_converter)
 
 Each export wraps forward + decode; NMS stays outside (like the
 reference's default exports) unless --nms.
@@ -202,6 +211,18 @@ def run(
     if "tflite" in include and sm_dir:
         rep = representative_dataset_gen(data, imgsz) if (int8 and data) else None
         outputs.append(export_tflite(sm_dir, save_dir / "model.tflite", int8=int8, rep_data=rep))
+    if "tfjs" in include:
+        from yolosomi_tpu.utils.tf_mirror import export_saved_model_tf
+        from yolosomi_tpu.utils.tfjs_export import export_tfjs
+
+        try:
+            sm_tf = export_saved_model_tf(
+                runner.model, runner.meta, runner.variables, imgsz, batch_size,
+                save_dir / "saved_model_tf",
+            )
+            outputs.append(export_tfjs(sm_tf, save_dir / "model_web"))
+        except NotImplementedError as e:
+            LOGGER.warning(f"TFJS: skipped — {e}")
     LOGGER.info(f"export complete ({time.time() - t0:.1f}s): {[str(o) for o in outputs]}")
     return outputs
 

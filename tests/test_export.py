@@ -109,3 +109,87 @@ def test_stablehlo_dump(exported):
     hlo = export_stablehlo(fn, IMGSZ, 1, out / "model.stablehlo.mlir")
     text = hlo.read_text()
     assert "stablehlo" in text and "func" in text
+
+
+def test_tf_mirror_matches_flax(exported):
+    """The TF-ops mirror (utils/tf_mirror.py — the models/tf.py
+    counterpart) must reproduce the flax model's decoded boxes from the
+    same variables with zero layout conversion."""
+    from yolosomi_tpu.utils.tf_mirror import build_tf_module
+
+    fn, x, ref, sm_dir, out = exported
+    model, meta = build_model(CFG, nc=3)
+    variables = init_model(model, meta, imgsz=IMGSZ)
+
+    def flax_fn(images):
+        return decode(model.apply(variables, images, train=False), meta.anchors_px, meta.strides)
+
+    want = np.asarray(flax_fn(jnp.asarray(x)))
+    mod = build_tf_module(model, meta, variables, IMGSZ, 1)
+    got = np.asarray(mod.f(tf.constant(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+def test_tfjs_graph_model_roundtrip(exported, tmp_path):
+    """TFJS graph-model artifact from the TF-ops mirror: every Const of
+    the frozen mirror graph must reassemble bit-exact from model.json's
+    manifest + shards, the stripped topology must keep the full node set
+    with no tensor payloads left on extracted Consts, and the graph must
+    contain NO XlaCallModule (the op a tfjs runtime cannot execute).
+    (Executing in a browser/node tfjs runtime has no counterpart on this
+    image — the same claim boundary as the reference's
+    tensorflowjs_converter call, export.py:246-263.)"""
+    from tensorflow.python.framework.convert_to_constants import (
+        convert_variables_to_constants_v2,
+    )
+
+    from yolosomi_tpu.utils.tf_mirror import export_saved_model_tf
+    from yolosomi_tpu.utils.tfjs_export import export_tfjs, read_tfjs_weights
+
+    fn, x, ref, sm_dir, out = exported
+    model, meta = build_model(CFG, nc=3)
+    variables = init_model(model, meta, imgsz=IMGSZ)
+    sm_tf = export_saved_model_tf(model, meta, variables, IMGSZ, 1, tmp_path / "sm_tf")
+    web = export_tfjs(sm_tf, tmp_path / "model_web", shard_bytes=64 * 1024)
+    model_json, got = read_tfjs_weights(web)
+
+    assert model_json["format"] == "graph-model"
+    # independent source of truth: re-freeze and collect the Consts
+    loaded = tf.saved_model.load(str(sm_tf))
+    frozen = convert_variables_to_constants_v2(loaded.f.get_concrete_function())
+    gd = frozen.graph.as_graph_def()
+    ops = {n.op for n in gd.node}
+    assert "XlaCallModule" not in ops, "mirror graph must be plain TF ops"
+    consts = {n.name: tf.make_ndarray(n.attr["value"].tensor) for n in gd.node if n.op == "Const"}
+    supported = {
+        k: v for k, v in consts.items()
+        if v.dtype.name in ("float32", "int32", "int64", "bool")
+    }
+    assert set(got) == set(supported)
+    assert len(got) > 10
+    for name, arr in got.items():
+        want = supported[name]
+        if want.dtype.name == "int64":
+            want = want.astype(np.int32)
+        if want.dtype.name == "bool":
+            want = want.astype(np.uint8)
+        np.testing.assert_array_equal(arr.reshape(want.shape), want, err_msg=name)
+
+    # topology: node set intact, extracted Consts carry no payload
+    topo_nodes = {n["name"]: n for n in model_json["modelTopology"]["node"]}
+    assert set(topo_nodes) == {n.name for n in gd.node}
+    for name in got:
+        attr = topo_nodes[name].get("attr", {}).get("value", {}).get("tensor", {})
+        assert "tensorContent" not in attr and "floatVal" not in attr, name
+
+    # multiple shards were actually exercised at this shard size
+    assert len(model_json["weightsManifest"][0]["paths"]) >= 2
+
+    # and the mirror SavedModel itself still executes with matching boxes
+    got_boxes = np.asarray(loaded.f(tf.constant(x)))
+    model2, meta2 = build_model(CFG, nc=3)
+    variables2 = init_model(model2, meta2, imgsz=IMGSZ)
+    want_boxes = np.asarray(
+        decode(model2.apply(variables2, jnp.asarray(x), train=False), meta2.anchors_px, meta2.strides)
+    )
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)

@@ -90,9 +90,13 @@ def export_pb(saved_model_dir: Path, out: Path):
 
 def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False, rep_data=None,
                   ops: str = "builtins"):
-    """ops="builtins": legalize to TFLite builtins + SELECT_TF_OPS (flex) —
-    executable by the bundled interpreter today (verified: parity within
-    TFLite's transcendental-approximation error, ~0.13% rel on boxes).
+    """ops="builtins_only": pure TFLite builtins — only possible from the
+    TF-ops mirror SavedModel (utils/tf_mirror.py); executes with no flex
+    delegate at ~3e-7 rel box error (the preferred artifact).
+    ops="builtins": legalize to TFLite builtins + SELECT_TF_OPS (flex) —
+    works from the jax2tf SavedModel too, executable by the bundled
+    interpreter (parity within TFLite's transcendental-approximation
+    error, ~0.13% rel on boxes).
     ops="stablehlo": carry StableHLO ops directly — smaller/portable but
     needs a LiteRT runtime newer than this image's tf 2.21 interpreter.
     (Reference counterpart: export.py:182-214.)"""
@@ -101,6 +105,8 @@ def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False, rep_data
     converter = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
     if ops == "stablehlo":
         converter.target_spec.supported_ops = [tf.lite.OpsSet.EXPERIMENTAL_STABLEHLO_OPS]
+    elif ops == "builtins_only":
+        converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS]
     else:
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
@@ -208,21 +214,30 @@ def run(
         outputs.append(sm_dir)
     if "pb" in include and sm_dir:
         outputs.append(export_pb(sm_dir, save_dir / "model.pb"))
-    if "tflite" in include and sm_dir:
-        rep = representative_dataset_gen(data, imgsz) if (int8 and data) else None
-        outputs.append(export_tflite(sm_dir, save_dir / "model.tflite", int8=int8, rep_data=rep))
-    if "tfjs" in include:
+    sm_tf = None
+    if {"tflite", "tfjs"} & set(include):
+        # plain-TF-ops mirror SavedModel: enables builtins-only TFLite and
+        # TFJS; graphs with unmirrored blocks fall back to jax2tf+flex
         from yolosomi_tpu.utils.tf_mirror import export_saved_model_tf
-        from yolosomi_tpu.utils.tfjs_export import export_tfjs
 
         try:
             sm_tf = export_saved_model_tf(
                 runner.model, runner.meta, runner.variables, imgsz, batch_size,
                 save_dir / "saved_model_tf",
             )
-            outputs.append(export_tfjs(sm_tf, save_dir / "model_web"))
         except NotImplementedError as e:
-            LOGGER.warning(f"TFJS: skipped — {e}")
+            LOGGER.warning(f"TF mirror unavailable for this graph ({e}); TFLite falls back to flex ops")
+    if "tflite" in include and (sm_tf or sm_dir):
+        rep = representative_dataset_gen(data, imgsz) if (int8 and data) else None
+        if sm_tf is not None:
+            outputs.append(export_tflite(sm_tf, save_dir / "model.tflite", int8=int8,
+                                         rep_data=rep, ops="builtins_only"))
+        else:
+            outputs.append(export_tflite(sm_dir, save_dir / "model.tflite", int8=int8, rep_data=rep))
+    if "tfjs" in include and sm_tf is not None:
+        from yolosomi_tpu.utils.tfjs_export import export_tfjs
+
+        outputs.append(export_tfjs(sm_tf, save_dir / "model_web"))
     LOGGER.info(f"export complete ({time.time() - t0:.1f}s): {[str(o) for o in outputs]}")
     return outputs
 

@@ -524,16 +524,24 @@ class SEAM(nn.Module):
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name=name
             )
 
-        # patch-embed depthwise conv + GELU + BN. Exact (erf) GELU: the
-        # reference uses torch nn.GELU's default, not the tanh approximation
+        # GELU flavor: the reference uses torch nn.GELU's default (exact
+        # erf), which we match in f32 (training / parity oracles / ONNX
+        # mirror). Under bf16 serving the erf-vs-tanh difference (~1e-4
+        # relative) is below bf16 rounding (~4e-3 relative) but erf's
+        # lowering costs 9% of the flagship's e2e wall (measured: 130.3 vs
+        # 119.5 ms/b32, PERF.md round 3) — so bf16 takes the tanh form.
+        approx = self.dtype == jnp.bfloat16
+        gelu = lambda t: nn.gelu(t, approximate=approx)  # noqa: E731
+
+        # patch-embed depthwise conv + GELU + BN
         y = ConvRaw(c, 3, 1, g=c, use_bias=True, dtype=self.dtype, name="dcov_patch")(x)
-        y = norm("bn_patch")(nn.gelu(y, approximate=False))
+        y = norm("bn_patch")(gelu(y))
         for i in range(self.n):
             r = ConvRaw(c, 3, 1, g=c, use_bias=True, dtype=self.dtype, name=f"dw{i}")(y)
-            r = norm(f"bn_dw{i}")(nn.gelu(r, approximate=False))
+            r = norm(f"bn_dw{i}")(gelu(r))
             y = y + r  # residual depthwise mixer
             y = ConvRaw(c, 1, 1, use_bias=True, dtype=self.dtype, name=f"pw{i}")(y)
-            y = norm(f"bn_pw{i}")(nn.gelu(y, approximate=False))
+            y = norm(f"bn_pw{i}")(gelu(y))
         v = jnp.mean(y, axis=(1, 2))
         v = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype, name="fc1")(v)
         v = nn.relu(v)

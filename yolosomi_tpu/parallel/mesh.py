@@ -63,6 +63,40 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def channel_shard_tree(tree, mesh: Mesh, min_channels: int = 64):
+    """Tensor parallelism for a conv net: device_put a variables pytree
+    with every weight whose LAST axis (out-channels for HWIO conv kernels
+    and flax Dense kernels, the channel dim for their bias/BN vectors)
+    is >= min_channels and divisible by the 'model' axis sharded on
+    'model'; everything else replicates.
+
+    Under jit, XLA's GSPMD partitioner propagates these shardings through
+    the graph: each conv computes its own out-channel block, activations
+    flow channel-sharded into elementwise/BN ops, and all-gathers are
+    inserted exactly where a following conv needs every input channel —
+    the conv analogue of Megatron-style column parallelism, with the
+    collectives derived by the compiler instead of hand-placed (the
+    scaling-book recipe). Composes with 'data' batch sharding on the
+    same mesh. Output parity vs the replicated program is asserted in
+    tests/test_sharding.py."""
+    msize = mesh.shape["model"]
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if (
+            msize > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 1
+            and x.shape[-1] >= min_channels
+            and x.shape[-1] % msize == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1)), "model")
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """Shard NHWC activations along H on the 'model' axis (SURVEY.md §5.7:
     the conv analogue of sequence parallelism for 1280px+ drone frames).

@@ -101,16 +101,21 @@ def quantized_infer_fn(runner, calib_images, exclude=(), **nms_kw):
 
     with quant_mode("int8", exclude=exclude):
 
+        # variables enter as an ARGUMENT, not a closure: closed-over
+        # device arrays serialize into the lowered module, and the
+        # flagship's ~0.8 GB of weights overflow the remote-compile
+        # relay's request limit (HTTP 413 — observed on the int8 val path;
+        # the bf16 path always passed variables as an argument)
         @jax.jit
-        def fn(images):
+        def fn(v, images):
             x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 else images
-            preds = runner.model.apply(variables_q, x, train=False)
+            preds = runner.model.apply(v, x, train=False)
             dec = runner._decode(preds)
             return non_max_suppression(dec, **nms_kw)
 
         # trace NOW (inside the mode) so the int8 branch is captured
         import numpy as np
 
-        fn_lowered = fn.lower(jnp.asarray(np.zeros_like(np.asarray(calib_images))))
+        fn_lowered = fn.lower(variables_q, jnp.asarray(np.zeros_like(np.asarray(calib_images))))
     compiled = fn_lowered.compile()
-    return lambda imgs: compiled(jnp.asarray(imgs))
+    return lambda imgs: compiled(variables_q, jnp.asarray(imgs))

@@ -218,3 +218,31 @@ def test_tflite_builtins_only_via_mirror(exported, tmp_path):
     # plain-ops conversion: float round-off only (measured ~3e-7 rel),
     # far tighter than the flex path's ~0.13% transcendental error
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "cfg_name",
+    ["yolov3-tiny", "yolov5s-ghost", "yolov5s-transformer", "yolov10", "yolov5-bifpn", "yolo-somi-t-p3"],
+)
+def test_tf_mirror_hub_family_parity(cfg_name, tmp_path):
+    """The TF mirror covers the hub families (ghost, transformer, v10's
+    SCDown/C2fCIB/PSA, bifpn, the serving students, v3-tiny's
+    MaxPool2d/ZeroPad2d): decoded-box parity vs flax at reduced width."""
+    import copy
+
+    from yolosomi_tpu.utils.config import find_config, load_model_cfg
+    from yolosomi_tpu.utils.tf_mirror import build_tf_module
+
+    cfg = copy.deepcopy(load_model_cfg(find_config(cfg_name)))
+    cfg["depth_multiple"] = min(cfg.get("depth_multiple", 1.0), 0.33)
+    cfg["width_multiple"] = min(cfg.get("width_multiple", 1.0), 0.25)
+    model, meta = build_model(cfg, nc=3)
+    variables = init_model(model, meta, imgsz=IMGSZ)
+
+    x = np.random.default_rng(7).random((1, IMGSZ, IMGSZ, 3)).astype(np.float32)
+    want = np.asarray(
+        decode(model.apply(variables, jnp.asarray(x), train=False), meta.anchors_px, meta.strides)
+    )
+    mod = build_tf_module(model, meta, variables, IMGSZ, 1)
+    got = np.asarray(mod.f(tf.constant(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3, err_msg=cfg_name)

@@ -14,8 +14,12 @@ and numerics are asserted against the flax model (tests/test_export.py).
 
 Inference-mode only (BN running stats). Covers the exported families:
 the SOMI flagship block set (Conv, C2fCBAM/CBAM, C2fEMACBAM/EMACBAM,
-ODConv, SEAM, SPPF, BiFPN, Upsample, Concat, DecoupledDetect) plus the
-v5/v8 hub basics (Focus, Bottleneck(CSP), C3, C2f, SPP, Detect).
+ODConv, SEAM, SPPF, BiFPN, Upsample, Concat, DecoupledDetect), the
+v5/v8 hub set (Focus, Bottleneck, BottleneckCSP, C3, C2f, SPP, Detect,
+BiFPN_Add2/3, Ghost/C3Ghost, C3TR/TransformerBlock, Contract,
+MaxPool2d/ZeroPad2d, SE), and the v10 set (SCDown, CIB/C2fCIB/RepVGGDW,
+PSA). Unmirrored blocks raise NotImplementedError and export falls back
+to the jax2tf path.
 """
 
 from __future__ import annotations
@@ -276,6 +280,119 @@ def _odconv2d(m, p, st, x):
     return out
 
 
+def _ghost_conv(m_k, m_s, m_g, act, p, st, x):
+    tf = _tf()
+    y = _conv_block(p["cv1"], st["cv1"], x, k=m_k, s=m_s, g=m_g, act=act)
+    c_ = int(y.shape[-1])
+    y2 = _conv_block(p["cv2"], st["cv2"], y, k=5, g=c_, act=act)
+    return tf.concat([y, y2], -1)
+
+
+def _ghost_bottleneck(m, p, st, x):
+    c1 = int(x.shape[-1])
+    y = _ghost_conv(1, 1, 1, True, p["conv1"], st["conv1"], x)
+    if m.s == 2:
+        c_ = m.c2 // 2
+        y = _conv_block(p["dw"], st["dw"], y, k=m.k, s=m.s, g=c_, act=False)
+    y = _ghost_conv(1, 1, 1, False, p["conv2"], st["conv2"], y)
+    if m.s == 2:
+        sc = _conv_block(p["sc_dw"], st["sc_dw"], x, k=m.k, s=m.s, g=c1, act=False)
+        sc = _conv_block(p["sc_pw"], st["sc_pw"], sc, k=1, act=False)
+    elif c1 == m.c2:
+        sc = x
+    else:
+        sc = _conv_block(p["sc_pw"], st["sc_pw"], x, k=1, act=False)
+    return y + sc
+
+
+def _transformer_layer(p, x, num_heads):
+    tf = _tf()
+    B = -1
+    N, C = (int(d) for d in x.shape[1:])
+    h = num_heads
+    hd = C // h
+    q, k, v = (_dense(p[n], x) for n in ("q", "k", "v"))
+
+    def split(t):
+        return tf.transpose(tf.reshape(t, [B, N, h, hd]), [0, 2, 1, 3])
+
+    attn = tf.nn.softmax(
+        tf.einsum("bhnd,bhmd->bhnm", split(q), split(k)) / np.float32(np.sqrt(hd)), axis=-1
+    )
+    out = tf.reshape(
+        tf.transpose(tf.einsum("bhnm,bhmd->bhnd", attn, split(v)), [0, 2, 1, 3]), [B, N, C]
+    )
+    x = _dense(p["ma_out"], out) + x
+    return _dense(p["fc2"], _dense(p["fc1"], x)) + x
+
+
+def _transformer_block(m_c2, m_heads, m_n, p, st, x):
+    tf = _tf()
+    if int(x.shape[-1]) != m_c2:
+        x = _conv_block(p["conv"], st["conv"], x)
+    H, W, C = (int(d) for d in x.shape[1:])
+    pf = tf.reshape(x, [-1, H * W, C])
+    pf = pf + _dense(p["linear"], pf)
+    for i in range(m_n):
+        pf = _transformer_layer(p[f"tr{i}"], pf, m_heads)
+    return tf.reshape(pf, [-1, H, W, C])
+
+
+def _repvggdw(p, st, x, c):
+    a = _conv_block(p["conv"], st["conv"], x, k=7, g=c, act=False)
+    b = _conv_block(p["conv1"], st["conv1"], x, k=3, g=c, act=False)
+    return _silu(a + b)
+
+
+def _cib(m, p, st, x, c2):
+    c1 = int(x.shape[-1])
+    c_ = c2  # C2fCIB uses e=1.0 inside the bottleneck
+    y = _conv_block(p["cv1_0"], st["cv1_0"], x, k=3, g=c1)
+    y = _conv_block(p["cv1_1"], st["cv1_1"], y, k=1)
+    if "cv1_2" in p and "conv1" in p["cv1_2"]:  # RepVGGDW variant (lk=True)
+        y = _repvggdw(p["cv1_2"], st["cv1_2"], y, int(y.shape[-1]))
+    else:
+        y = _conv_block(p["cv1_2"], st["cv1_2"], y, k=3, g=int(y.shape[-1]))
+    y = _conv_block(p["cv1_3"], st["cv1_3"], y, k=1)
+    y = _conv_block(p["cv1_4"], st["cv1_4"], y, k=3, g=c2)
+    return x + y if m.shortcut and c1 == c2 else y
+
+
+def _attention_psa(p, st, x, dim, num_heads, attn_ratio=0.5):
+    tf = _tf()
+    h, w, c = (int(d) for d in x.shape[1:])
+    n = h * w
+    head_dim = dim // num_heads
+    key_dim = int(head_dim * attn_ratio)
+    scale = np.float32(key_dim ** -0.5)
+    qkv = _conv_block(p["qkv"], st["qkv"], x, k=1, act=False)
+    qkv = tf.transpose(
+        tf.reshape(qkv, [-1, n, num_heads, key_dim * 2 + head_dim]), [0, 2, 1, 3]
+    )
+    q, k, v = tf.split(qkv, [key_dim, key_dim, head_dim], axis=-1)
+    attn = tf.nn.softmax(tf.einsum("bhnk,bhmk->bhnm", q, k) * scale, axis=-1)
+    y = tf.einsum("bhnm,bhmd->bhnd", attn, v)
+    y = tf.reshape(tf.transpose(y, [0, 2, 1, 3]), [-1, h, w, c])
+    pe = _conv_block(
+        p["pe"], st["pe"],
+        tf.reshape(tf.transpose(v, [0, 2, 1, 3]), [-1, h, w, c]), k=3, g=dim, act=False,
+    )
+    return _conv_block(p["proj"], st["proj"], y + pe, k=1, act=False)
+
+
+def _psa(m, p, st, x):
+    tf = _tf()
+    c1 = int(x.shape[-1])
+    c = int(c1 * m.e)
+    y = _conv_block(p["cv1"], st["cv1"], x)
+    a, bpart = y[..., :c], y[..., c:]
+    bpart = bpart + _attention_psa(p["attn"], st["attn"], bpart, c, max(c // 64, 1))
+    f = _conv_block(p["ffn_0"], st["ffn_0"], bpart, k=1)
+    f = _conv_block(p["ffn_1"], st["ffn_1"], f, k=1, act=False)
+    bpart = bpart + f
+    return _conv_block(p["cv2"], st["cv2"], tf.concat([a, bpart], -1))
+
+
 def _decouple(m, p, st, x, nc, na):
     tf = _tf()
     ny, nx = (int(d) for d in x.shape[1:3])
@@ -360,6 +477,66 @@ def _apply_block(m, p, st, x):
         y = _odconv2d(m_attr(m), p["conv"], st["conv"], x)
         y = _bn(p["bn"], st["bn"], y)
         return _silu(y) if m.act is True else y
+    if name == "BottleneckCSP":
+        c_ = int(m.c2 * m.e)
+        y1 = _conv_block(p["cv1"], st["cv1"], x)
+        for i in range(m.n):
+            sub = type("B", (), {"k": (3, 3), "g": m.g, "shortcut": m.shortcut, "c2": c_})
+            y1 = _bottleneck(sub, p[f"m{i}"], st.get(f"m{i}", {}), y1)
+        y1 = _conv_raw(p["cv3"], y1, k=1)
+        y2 = _conv_raw(p["cv2"], x, k=1)
+        y = _bn(p["bn"], st["bn"], tf.concat([y1, y2], -1))
+        return _conv_block(p["cv4"], st["cv4"], _silu(y))
+    if name == "GhostConv":
+        return _ghost_conv(m.k, m.s, m.g, m.act, p, st, x)
+    if name == "GhostBottleneck":
+        return _ghost_bottleneck(m, p, st, x)
+    if name == "C3Ghost":
+        c_ = int(m.c2 * m.e)
+        y1 = _conv_block(p["cv1"], st["cv1"], x)
+        for i in range(m.n):
+            sub = type("G", (), {"k": 3, "s": 1, "c2": c_})
+            y1 = _ghost_bottleneck(sub, p[f"m{i}"], st.get(f"m{i}", {}), y1)
+        y2 = _conv_block(p["cv2"], st["cv2"], x)
+        return _conv_block(p["cv3"], st["cv3"], tf.concat([y1, y2], -1))
+    if name == "C3TR":
+        c_ = int(m.c2 * m.e)
+        y1 = _conv_block(p["cv1"], st["cv1"], x)
+        y1 = _transformer_block(c_, 4, m.n, p["m"], st.get("m", {}), y1)
+        y2 = _conv_block(p["cv2"], st["cv2"], x)
+        return _conv_block(p["cv3"], st["cv3"], tf.concat([y1, y2], -1))
+    if name == "TransformerBlock":
+        return _transformer_block(m.c2, m.num_heads, m.n, p, st, x)
+    if name == "SCDown":
+        y = _conv_block(p["cv1"], st["cv1"], x)
+        return _conv_block(p["cv2"], st["cv2"], y, k=m.k, s=m.s, g=m.c2, act=False)
+    if name == "RepVGGDW":
+        return _repvggdw(p, st, x, m.c2)
+    if name == "CIB":
+        return _cib(m, p, st, x, m.c2)
+    if name == "C2fCIB":
+        c = int(m.c2 * m.e)
+        sub = type("B", (), {"shortcut": m.shortcut})
+        return _c2f(m, p, st, x, bottleneck_fn=lambda pp, ss, xx: _cib(sub, pp, ss, xx, c))
+    if name == "PSA":
+        return _psa(m, p, st, x)
+    if name == "SE":
+        v = tf.reduce_mean(x, axis=(1, 2))
+        v = _dense(p["l2"], tf.nn.relu(_dense(p["l1"], v)))
+        return x * tf.sigmoid(v)[:, None, None, :]
+    if name == "Contract":
+        g = m.gain
+        H, W, C = (int(d) for d in x.shape[1:])
+        x = tf.reshape(x, [-1, H // g, g, W // g, g, C])
+        x = tf.transpose(x, [0, 1, 3, 2, 4, 5])
+        return tf.reshape(x, [-1, H // g, W // g, C * g * g])
+    if name == "MaxPool2d":
+        if m.p:
+            x = tf.pad(x, [[0, 0], [m.p, m.p], [m.p, m.p], [0, 0]], constant_values=x.dtype.min)
+        return tf.nn.max_pool2d(x, ksize=m.k, strides=m.s, padding="VALID")
+    if name == "ZeroPad2d":
+        l, r, t, b_ = m.pads
+        return tf.pad(x, [[0, 0], [t, b_], [l, r], [0, 0]])
     raise NotImplementedError(
         f"tf_mirror: no mirror for block {name} (add it to _apply_block)"
     )

@@ -264,3 +264,33 @@ def test_channel_sharded_tp_forward_and_grads_match_replicated():
     gb = jax.tree_util.tree_leaves(jax.device_get(tp_grads["params"]))
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
+
+
+def test_pipeline_parallel_2stage_matches_sequential():
+    """Pipeline parallelism (the pp leg): backbone on stage 0, neck+head
+    on stage 1, microbatches hopping over 'stage' via ppermute — raw head
+    maps must equal the sequential forward for every microbatch."""
+    from jax.sharding import Mesh
+
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.parallel.pipeline import pipeline_infer, stage_payload_keys
+    from yolosomi_tpu.utils.config import find_config, load_model_cfg
+
+    cfg = load_model_cfg(find_config("yolov5n"))
+    model, meta = build_model(cfg, nc=4)
+    variables = init_model(model, meta, imgsz=64)
+    split = 10  # v5 backbone (incl. SPPF) | neck+head
+    keys = stage_payload_keys(model, split)
+    assert keys == (4, 6), keys  # P3/P4 skips cross the boundary
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+    M, mb = 3, 2
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.standard_normal((M * mb, 64, 64, 3)).astype(np.float32))
+
+    fn = pipeline_infer(model, variables, mesh, split, imgsz=64, microbatch=mb)
+    got = fn(variables, images)
+    want = model.apply(variables, images, train=False)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5)

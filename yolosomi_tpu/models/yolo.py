@@ -713,6 +713,28 @@ class DetectionModel(nn.Module):
             return prev, captured
         return prev
 
+    def run_range(self, x, saved_in: Dict[int, jax.Array], lo: int, hi: int, train: bool = False):
+        """Run layers [lo, hi) and return (out, saved_out) — the building
+        block for pipeline-parallel staging (parallel/pipeline.py): a
+        stage receives the previous stage's boundary activation as `x`
+        plus the skip-connection tensors it consumes in `saved_in`, and
+        emits the same for the next stage. lo/hi are static."""
+        saved: Dict[int, jax.Array] = dict(saved_in)
+        prev = x
+        n = len(self.layers)
+        for i in range(lo, hi):
+            m, f = self.layers[i], self.froms[i]
+            if i == n - 1 and self.head_from:
+                return m([saved[j] for j in self.head_from], train), saved
+            if isinstance(f, int):
+                inp = prev if f == -1 else saved[f if f >= 0 else i + f]
+            else:
+                inp = [prev if j == -1 else saved[j if j >= 0 else i + j] for j in f]
+            prev = m(inp, train)
+            if i in self.save:
+                saved[i] = prev
+        return prev, saved
+
 
 def build_model(cfg: dict, ch: int = 3, nc: Optional[int] = None, anchors=None, dtype=jnp.float32):
     """Compile a model YAML dict -> (DetectionModel, ModelMeta).

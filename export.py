@@ -215,9 +215,11 @@ def run(
     if "pb" in include and sm_dir:
         outputs.append(export_pb(sm_dir, save_dir / "model.pb"))
     sm_tf = None
-    if {"tflite", "tfjs"} & set(include):
+    if {"tflite", "tfjs"} & set(include) and not nms:
         # plain-TF-ops mirror SavedModel: enables builtins-only TFLite and
-        # TFJS; graphs with unmirrored blocks fall back to jax2tf+flex
+        # TFJS; graphs with unmirrored blocks fall back to jax2tf+flex.
+        # The mirror exports forward+decode only, so --nms artifacts take
+        # the jax2tf path (which embeds the NMS) instead.
         from yolosomi_tpu.utils.tf_mirror import export_saved_model_tf
 
         try:
@@ -226,7 +228,12 @@ def run(
                 save_dir / "saved_model_tf",
             )
         except NotImplementedError as e:
-            LOGGER.warning(f"TF mirror unavailable for this graph ({e}); TFLite falls back to flex ops")
+            wanted = " and ".join(sorted({"tflite", "tfjs"} & set(include)))
+            LOGGER.warning(
+                f"TF mirror unavailable for this graph ({e}); {wanted} fall back to "
+                "the jax2tf path (TFLite: flex ops; TFJS: not exportable — its "
+                "runtime cannot execute XlaCallModule)"
+            )
     if "tflite" in include and (sm_tf or sm_dir):
         rep = representative_dataset_gen(data, imgsz) if (int8 and data) else None
         if sm_tf is not None:
@@ -234,6 +241,11 @@ def run(
                                          rep_data=rep, ops="builtins_only"))
         else:
             outputs.append(export_tflite(sm_dir, save_dir / "model.tflite", int8=int8, rep_data=rep))
+    if "tfjs" in include and sm_tf is None:
+        LOGGER.warning(
+            "TFJS: skipped — needs the TF-ops mirror graph"
+            + (" (--nms is not supported in the tfjs artifact; re-run without --nms)" if nms else "")
+        )
     if "tfjs" in include and sm_tf is not None:
         from yolosomi_tpu.utils.tfjs_export import export_tfjs
 

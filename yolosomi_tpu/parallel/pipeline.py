@@ -88,6 +88,10 @@ def pipeline_infer(model, variables, mesh: Mesh, split: int, imgsz: int, microba
         return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), t)
 
     def fn(variables, images):
+        if images.shape[0] % microbatch:
+            raise ValueError(
+                f"batch ({images.shape[0]}) must be a multiple of microbatch ({microbatch})"
+            )
         M = images.shape[0] // microbatch
         mbs = images.reshape(M, microbatch, *images.shape[1:])
 

@@ -115,7 +115,11 @@ def _conv_block(p, st, x, k=1, s=1, pad=None, g=1, d=1, act=True):
     """flax Conv = ConvRaw(no bias) + BN + SiLU."""
     y = _conv_raw({"conv": p["cv"]["conv"]}, x, k, s, pad, g, d)
     y = _bn(p["bn"], st["bn"], y)
-    return _silu(y) if act is True else y
+    if act is True:
+        return _silu(y)
+    if callable(act):  # a custom activation has no tf mirror — fail loudly
+        raise NotImplementedError(f"tf_mirror: callable Conv activation {act!r}")
+    return y
 
 
 def _maxpool(x, k, s=1):
@@ -244,7 +248,6 @@ def _odconv2d(m, p, st, x):
     pd = _autopad(k, m.p, m.d)
     weight = np.asarray(p["weight"], np.float32)  # (K, kh, kw, cin, cout)
     K, kh, kw, cin, cout = weight.shape
-    hidden = max(int(c1 * m.r), 16)
 
     v = tf.reduce_mean(x, axis=(1, 2))
     v = _dense(p["fc"], v)
@@ -254,7 +257,6 @@ def _odconv2d(m, p, st, x):
     attn_s = tf.reshape(tf.sigmoid(_dense(p["fc_s"], v)), [b, kh, kw])
     attn_c = tf.sigmoid(_dense(p["fc_c"], v))  # (B, cin)
     attn_w = tf.nn.softmax(_dense(p["fc_w"], v), axis=-1)  # (B, K)
-    del hidden
 
     wmix = tf.einsum("bk,khwio->bhwio", attn_w, tf.constant(weight))
     wmix = (

@@ -64,13 +64,6 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     key = re.sub(r"\.bn_pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.3", key)
     key = re.sub(r"\.dw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.0.fn.0", key)
     key = re.sub(r"\.pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.1", key)
-    # SE-style two-layer MLPs (SEAM common.py:8470, se_block :2879,
-    # EMACBAMBottleneck :910): the reference wraps them in fc = Sequential
-    # with the linear/1x1-conv layers at slots 0 and 2
-    if key.endswith(".fc1"):
-        key = key[: -len(".fc1")] + ".fc.0"
-    elif key.endswith(".fc2"):
-        key = key[: -len(".fc2")] + ".fc.2"
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]
@@ -101,16 +94,25 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
 def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
     """All plausible torch keys for one of our tree paths, primary first.
 
-    The single ambiguity: a flax leaf `X/conv/bias`. For a bare ConvRaw
-    named 'conv' the torch module is a raw nn.Conv2d (key X.bias), but for
-    ODConv the torch module keeps a (K, c2) candidate-bias bank at
-    X.conv.bias (reference common.py:4529) — same derivation path, two
-    different torch owners. Shape validation at the call site disambiguates."""
+    Two ambiguities, disambiguated by which key the torch state_dict
+    actually contains (and by shape validation at the call site):
+    - a flax leaf `X/conv/bias`: for a bare ConvRaw named 'conv' the torch
+      module is a raw nn.Conv2d (key X.bias), but for ODConv the torch
+      module keeps a (K, c2) candidate-bias bank at X.conv.bias
+      (reference common.py:4529);
+    - a flax module named fc1/fc2: some reference blocks declare
+      self.fc1/self.fc2 directly (se_block common.py:2886, TransformerLayer
+      :1036), others wrap the pair in `fc = nn.Sequential` with the layers
+      at slots 0 and 2 (SEAM common.py:8470, EMACBAMBottleneck :910) — so
+      X.fc1.* and X.fc.0.* are both offered."""
     primary = _path_to_torch_key(path, collection)
     out = [primary]
     if path[-1] == "bias" and len(path) >= 2 and path[-2] == "conv":
         joined = primary[: -len(".bias")]
         out.append(f"{joined}.conv.bias")
+    for flax_name, seq_name in ((".fc1.", ".fc.0."), (".fc2.", ".fc.2.")):
+        if flax_name in primary:
+            out.append(primary.replace(flax_name, seq_name))
     return out
 
 

@@ -721,7 +721,10 @@ def _randomize_sd(model, skip=("anchor", "stride")):
         else:
             sd[k] = torch.randn(v.shape, generator=g) * 0.1
     model.load_state_dict(sd)
-    return {k: v.numpy() for k, v in model.state_dict().items()}
+    # .copy(): .numpy() aliases the live parameter memory, so a later
+    # in-place mutation of the module (IDetect.fuse) would silently
+    # rewrite this snapshot too
+    return {k: v.numpy().copy() for k, v in model.state_dict().items()}
 
 
 def _reorder_ref_rows(z, maps, na, no):
@@ -979,3 +982,173 @@ def test_decouple_taper_matches_torch_linspace():
         for na in (3, 4):
             ref = [int(x + na * 5) for x in (c_ - na * 5) * torch.linspace(1, 0, 4)]
             assert decouple_taper(c_, na * 5) == ref, (c1, na)
+
+
+# --------------------------------------------------------------------------
+# remaining head-family oracles: IDetect / IAuxDetect / ASFF / CLLA
+# --------------------------------------------------------------------------
+
+HEAD_ANCHORS_PX = [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]]
+HEAD_STRIDES = [8, 16]
+
+
+def _head_grid_anchors(anchors_px=HEAD_ANCHORS_PX, strides=HEAD_STRIDES):
+    return [[a / s for a in level] for level, s in zip(anchors_px, strides)]
+
+
+def _prep_ref_head(det, strides=HEAD_STRIDES):
+    """What the reference Model does to a fresh head: stride buffer +
+    initialize_weights' BN eps/momentum (torch_utils.py)."""
+    det.stride = torch.tensor([float(s) for s in strides])
+    for m in det.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.eps, m.momentum = 1e-3, 0.03
+    return det
+
+
+def _assert_head_parity(r_z, r_maps, j_maps, na, no, anchors_px=HEAD_ANCHORS_PX, strides=HEAD_STRIDES):
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}")
+    apx = np.asarray(anchors_px, np.float32).reshape(len(strides), na, 2)
+    dec = np.asarray(our_decode(j_maps, apx, strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, na, no)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_idetect_oracle():
+    """YOLOv7 implicit head vs the reference's own FUSED deploy path
+    (fuse() + fuseforward, yolo.py:477-491): fuse folds ImplicitA into the
+    conv bias and ImplicitM into weight+bias, so the fused conv IS
+    ia->conv->im — which is what our forward computes explicitly (and
+    what upstream YOLOv7's forward computes). The golden is the fused
+    path because this reference's UNFUSED IDetect.forward (yolo.py:410)
+    drops the ImplicitM multiply entirely — a latent defect that makes
+    its own fused and unfused inference disagree; documented in
+    PARITY.md. (Its non-inplace decode branch also omits the -0.5 xy
+    shift, yolo.py:427 — fuseforward uses the standard branch.)"""
+    from yolosomi_tpu.models.heads import IDetect as OurIDetect
+
+    nc = 7
+    det = _prep_ref_head(ref_yolo.IDetect(nc=nc, anchors=_head_grid_anchors(), ch=(64, 128)))
+    sd = _randomize_sd(det)
+    det.eval()
+    det.fuse()
+
+    rng = np.random.default_rng(73)
+    feats = [
+        rng.standard_normal((1, 16, 16, 64)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 128)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        r_z, r_maps = det.fuseforward([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurIDetect(nc=nc, anchors=tuple(tuple(a) for a in HEAD_ANCHORS_PX), strides=tuple(HEAD_STRIDES))
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+    _assert_head_parity(r_z, r_maps, j_maps, 3, nc + 5)
+
+
+def test_iauxdetect_oracle_train_maps():
+    """IAuxDetect (yolo.py:506-560): training-mode lead+aux raw maps —
+    the aux plane only exists in training (the loss weights it 0.25)."""
+    from yolosomi_tpu.models.heads import IAuxDetect as OurIAuxDetect
+
+    nc = 5
+    det = _prep_ref_head(
+        ref_yolo.IAuxDetect(nc=nc, anchors=_head_grid_anchors(), ch=(64, 128, 64, 128))
+    )
+    sd = _randomize_sd(det)
+    det.train()
+
+    rng = np.random.default_rng(74)
+    feats = [
+        rng.standard_normal((1, 16, 16, 64)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 128)).astype(np.float32),
+        rng.standard_normal((1, 16, 16, 64)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 128)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+    assert len(r_maps) == 4
+
+    ours = OurIAuxDetect(nc=nc, anchors=tuple(tuple(a) for a in HEAD_ANCHORS_PX), strides=tuple(HEAD_STRIDES))
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], True)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], True)
+    assert len(j_maps) == 4
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"map {lvl}")
+
+
+ASFF_ANCHORS_PX = [
+    [10, 13, 16, 30, 33, 23],
+    [30, 61, 62, 45, 59, 119],
+    [116, 90, 156, 198, 373, 326],
+]
+ASFF_STRIDES = [8, 16, 32]
+
+
+def test_asff_detect_oracle():
+    """ASFF_Detect (yolo.py:172-185 + common.py:5322-5568): the sequential
+    reversed fusion, add_conv's conv+BN+LeakyReLU(0.1) blocks (the SiLU
+    deviation this oracle originally caught is fixed), and the Detect
+    decode — at the reference's hardcoded dims [512,256,128]."""
+    from yolosomi_tpu.models.heads import ASFFDetect as OurASFFDetect
+
+    nc = 3
+    grid_anchors = [[a / s for a in lvl] for lvl, s in zip(ASFF_ANCHORS_PX, ASFF_STRIDES)]
+    det = _prep_ref_head(
+        ref_yolo.ASFF_Detect(nc=nc, anchors=grid_anchors, ch=(128, 256, 512)), ASFF_STRIDES
+    )
+    sd = _randomize_sd(det)
+    det.eval()
+
+    rng = np.random.default_rng(75)
+    feats = [
+        rng.standard_normal((1, 16, 16, 128)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 256)).astype(np.float32),
+        rng.standard_normal((1, 4, 4, 512)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        r_z, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurASFFDetect(
+        nc=nc, anchors=tuple(tuple(a) for a in ASFF_ANCHORS_PX), strides=tuple(ASFF_STRIDES)
+    )
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+    _assert_head_parity(r_z, r_maps, j_maps, 3, nc + 5, ASFF_ANCHORS_PX, ASFF_STRIDES)
+
+
+def test_clla_detect_oracle():
+    """CLLADetect (yolo.py:258-380): level 0 is the CLLA cross-layer
+    attention fusion of the two finest maps (inverted-relevance softmax,
+    (out+x2)/2 blend), levels 1+ plain 1x1 convs."""
+    from yolosomi_tpu.models.heads import CLLADetect as OurCLLADetect
+
+    nc = 6
+    det = _prep_ref_head(
+        ref_yolo.CLLADetect(nc=nc, anchors=_head_grid_anchors(), ch=(64, 96, 128))
+    )
+    sd = _randomize_sd(det)
+    det.eval()
+
+    rng = np.random.default_rng(76)
+    feats = [
+        rng.standard_normal((1, 32, 32, 64)).astype(np.float32),
+        rng.standard_normal((1, 16, 16, 96)).astype(np.float32),
+        rng.standard_normal((1, 8, 8, 128)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        r_z, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurCLLADetect(nc=nc, anchors=tuple(tuple(a) for a in HEAD_ANCHORS_PX), strides=tuple(HEAD_STRIDES))
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+    _assert_head_parity(r_z, r_maps, j_maps, 3, nc + 5)

@@ -375,9 +375,12 @@ class IAuxDetect(nn.Module):
 
 
 def _maxpool2(x):
-    """3x3/s2 max pool, SAME padding (reference: F.max_pool2d(x,3,2,1))."""
+    """3x3/s2 max pool, symmetric pad 1 (reference: F.max_pool2d(x,3,2,1)).
+    NOT "SAME": for even inputs SAME pads (0,1) and shifts every window by
+    one pixel vs torch's (1,1) — caught by the ASFF_Detect oracle."""
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
     ).astype(x.dtype)
 
 
@@ -385,11 +388,18 @@ def _nearest_up(x, s: int):
     return jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
 
 
+def _leaky01(t):
+    """LeakyReLU(0.1): the activation of the reference's add_conv blocks
+    (common.py:5340) that ASFF is built from — NOT SiLU."""
+    return jax.nn.leaky_relu(t, negative_slope=0.1)
+
+
 class ASFF(nn.Module):
     """Adaptively spatial feature fusion at one pyramid level (reference:
     common.py:5500-5568). Level 0 is the deepest map. The reference
     hardcodes dims [512,256,128]; here the level's own channel count is
-    the fusion width, so the module is width-multiple-safe."""
+    the fusion width, so the module is width-multiple-safe. All convs are
+    add_conv blocks (conv+BN+LeakyReLU(0.1), common.py:5322-5344)."""
 
     level: int
     compress_c: int = 16
@@ -401,28 +411,28 @@ class ASFF(nn.Module):
         c = x0.shape[-1] if self.level == 0 else (x1.shape[-1] if self.level == 1 else x2.shape[-1])
         if self.level == 0:
             r0 = x0
-            r1 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_1")(x1, train)
-            r2 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_2")(_maxpool2(x2), train)
+            r1 = Conv(c, 3, 2, act=_leaky01, dtype=self.dtype, name="stride_level_1")(x1, train)
+            r2 = Conv(c, 3, 2, act=_leaky01, dtype=self.dtype, name="stride_level_2")(_maxpool2(x2), train)
         elif self.level == 1:
-            r0 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_0")(x0, train), 2)
+            r0 = _nearest_up(Conv(c, 1, 1, act=_leaky01, dtype=self.dtype, name="compress_level_0")(x0, train), 2)
             r1 = x1
-            r2 = Conv(c, 3, 2, dtype=self.dtype, name="stride_level_2")(x2, train)
+            r2 = Conv(c, 3, 2, act=_leaky01, dtype=self.dtype, name="stride_level_2")(x2, train)
         else:
-            r0 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_0")(x0, train), 4)
-            r1 = _nearest_up(Conv(c, 1, 1, dtype=self.dtype, name="compress_level_1")(x1, train), 2)
+            r0 = _nearest_up(Conv(c, 1, 1, act=_leaky01, dtype=self.dtype, name="compress_level_0")(x0, train), 4)
+            r1 = _nearest_up(Conv(c, 1, 1, act=_leaky01, dtype=self.dtype, name="compress_level_1")(x1, train), 2)
             r2 = x2
         w = jnp.concatenate(
             [
-                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_0")(r0, train),
-                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_1")(r1, train),
-                Conv(self.compress_c, 1, 1, dtype=self.dtype, name="weight_level_2")(r2, train),
+                Conv(self.compress_c, 1, 1, act=_leaky01, dtype=self.dtype, name="weight_level_0")(r0, train),
+                Conv(self.compress_c, 1, 1, act=_leaky01, dtype=self.dtype, name="weight_level_1")(r1, train),
+                Conv(self.compress_c, 1, 1, act=_leaky01, dtype=self.dtype, name="weight_level_2")(r2, train),
             ],
             axis=-1,
         )
         w = ConvRaw(3, 1, 1, use_bias=True, dtype=self.dtype, name="weight_levels")(w)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(r0.dtype)
         fused = r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3]
-        return Conv(c, 3, 1, dtype=self.dtype, name="expand")(fused, train)
+        return Conv(c, 3, 1, act=_leaky01, dtype=self.dtype, name="expand")(fused, train)
 
 
 class ASFFDetect(nn.Module):

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from yolosomi_tpu.utils.general import LOGGER
 
-_LIST_RE = re.compile(r"^(m|dw|pw|bn_dw|bn_pw)(\d+)$")
+_LIST_RE = re.compile(r"^(m|dw|pw|bn_dw|bn_pw|ia|im|tr)(\d+)$")
 
 
 def _path_to_torch_key(path: List[str], collection: str) -> str:
@@ -64,6 +64,11 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     key = re.sub(r"\.bn_pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.3", key)
     key = re.sub(r"\.dw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.0.fn.0", key)
     key = re.sub(r"\.pw\.(\d+)", lambda m: f".DCovN.{3 + int(m.group(1))}.1", key)
+    # head module lists whose flax stem differs from the torch attribute:
+    # ASFF_Detect keeps its fusers in `asffs` (yolo.py:177); IAuxDetect's
+    # aux convs in `m2` (yolo.py:524)
+    key = re.sub(r"(^|\.)asff(\d+)\.", lambda m: f"{m.group(1)}asffs.{m.group(2)}.", key)
+    key = re.sub(r"(^|\.)m2_(\d+)\.", lambda m: f"{m.group(1)}m2.{m.group(2)}.", key)
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]
@@ -113,10 +118,14 @@ def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
     for flax_name, seq_name in ((".fc1.", ".fc.0."), (".fc2.", ".fc.2.")):
         if flax_name in primary:
             out.append(primary.replace(flax_name, seq_name))
+    # add_conv blocks (reference common.py:5322, used by ASFF) name their
+    # BatchNorm 'batch_norm' where the standard Conv wrapper names it 'bn'
+    if ".bn." in primary:
+        out.append(primary.replace(".bn.", ".batch_norm."))
     return out
 
 
-def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...]) -> np.ndarray:
+def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...], leaf: str = "") -> np.ndarray:
     """Dtype/layout conversion: conv OIHW->HWIO, dense (out,in)->(in,out),
     ODConv candidate banks (K,O,I,kh,kw)->(K,kh,kw,I,O), 1x1-conv
     attention heads -> dense kernels."""
@@ -125,10 +134,17 @@ def _convert_leaf(value: np.ndarray, our_shape: Tuple[int, ...]) -> np.ndarray:
         v = v.transpose(0, 3, 4, 2, 1)  # K,O,I,kh,kw -> K,kh,kw,I,O
     elif v.ndim == 4 and len(our_shape) == 2 and v.shape[2:] == (1, 1):
         v = v[:, :, 0, 0].T  # torch Conv2d-1x1 head -> our Dense kernel
+    elif v.ndim == 4 and v.shape[0] == 1 and v.shape[2:] == (1, 1) and tuple(our_shape[:3]) == (1, 1, 1):
+        v = v.transpose(0, 2, 3, 1)  # Implicit{A,M} (1,C,1,1) -> NHWC (1,1,1,C)
     elif v.ndim == 4:
         v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-    elif v.ndim == 2 and tuple(v.shape) != tuple(our_shape):
-        v = v.T  # dense (out,in) -> (in,out); same-shape 2D banks pass through
+    elif v.ndim == 2 and (leaf == "kernel" or tuple(v.shape) != tuple(our_shape)):
+        # dense (out,in) -> (in,out). A Dense *kernel* ALWAYS transposes —
+        # square Linear weights (e.g. CLLA's q/k/v, TransformerLayer) were
+        # silently passed through before this leaf-name disambiguation
+        # (caught by the CLLADetect reference oracle). Same-shape non-kernel
+        # 2D banks (ODConv's (K, c2) bias) still pass through.
+        v = v.T
     if tuple(v.shape) != tuple(our_shape):
         raise ValueError(f"shape mismatch {v.shape} vs {our_shape}")
     return v
@@ -154,7 +170,7 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], variables: dict, strict:
                 if tk not in torch_sd:
                     continue
                 try:
-                    hit = jnp.asarray(_convert_leaf(torch_sd[tk], leaf.shape))
+                    hit = jnp.asarray(_convert_leaf(torch_sd[tk], leaf.shape, leaf=keys[-1]))
                     break
                 except ValueError as e:
                     err = f"{tk}: {e}"

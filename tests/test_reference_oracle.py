@@ -1152,3 +1152,50 @@ def test_clla_detect_oracle():
     variables = convert_state_dict(sd, variables, strict=True)
     j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
     _assert_head_parity(r_z, r_maps, j_maps, 3, nc + 5)
+
+
+def test_tscode_detect_oracle():
+    """TSCODE_Detect (yolo.py:631-722; SCE/DPE common.py:7770-7806): cls
+    from SCE at half resolution pixel-shuffled back up (the einops
+    rearrange), reg/conf from the DPE plane — raw maps and decoded rows.
+    The reference's dead `DPE.middle` conv is the only unconsumed param."""
+    from yolosomi_tpu.models.heads import TSCODEDetect as OurTSCODEDetect
+
+    nc = 4
+    anchors_px = [
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ]
+    strides = [8, 16, 32]
+    grid_anchors = [[a / s for a in lvl] for lvl, s in zip(anchors_px, strides)]
+    ch = (32, 48, 64, 96, 128)
+    det = _prep_ref_head(ref_yolo.TSCODE_Detect(nc=nc, anchors=grid_anchors, ch=ch), strides)
+    sd = _randomize_sd(det)
+    det.eval()
+
+    rng = np.random.default_rng(77)
+    sizes = [32, 16, 8, 4, 2]
+    feats = [
+        rng.standard_normal((1, s, s, c)).astype(np.float32) for s, c in zip(sizes, ch)
+    ]
+    # yolo.py:680 references the undefined name `Segment` (the same latent
+    # defect the flagship fixture patches) — sentinel it for the forward
+    saved_seg = getattr(ref_yolo, "Segment", None)
+    ref_yolo.Segment = type("Segment", (), {})
+    try:
+        with torch.no_grad():
+            r_z, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+    finally:
+        if saved_seg is None:
+            delattr(ref_yolo, "Segment")
+        else:
+            ref_yolo.Segment = saved_seg
+
+    ours = OurTSCODEDetect(
+        nc=nc, anchors=tuple(tuple(a) for a in anchors_px), strides=tuple(strides)
+    )
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+    _assert_head_parity(r_z, r_maps, j_maps, 3, nc + 5, anchors_px, strides)

@@ -69,6 +69,16 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     # aux convs in `m2` (yolo.py:524)
     key = re.sub(r"(^|\.)asff(\d+)\.", lambda m: f"{m.group(1)}asffs.{m.group(2)}.", key)
     key = re.sub(r"(^|\.)m2_(\d+)\.", lambda m: f"{m.group(1)}m2.{m.group(2)}.", key)
+    # TSCODE_Detect (yolo.py:646-656): six per-level ModuleLists; our
+    # m_cls{i}_{j} / m_reg_conf{i}_{j} flatten the inner Sequentials
+    key = re.sub(
+        r"(^|\.)m_(sce|dpe|cls|reg_conf|reg|conf)(\d+)(?:_(\d+))?\.",
+        lambda m: f"{m.group(1)}m_{m.group(2)}.{m.group(3)}."
+        + (f"{m.group(4)}." if m.group(4) is not None else ""),
+        key,
+    )
+    # DPE's up_forp{2,3} are Sequential(Upsample, Conv) — the Conv is slot 1
+    key = key.replace(".up_forp2.", ".up_forp2.1.").replace(".up_forp3.", ".up_forp3.1.")
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]

@@ -1232,3 +1232,70 @@ def test_convert_torch_cli_end_to_end(v5s_oracle_pair, tmp_path):
     # save->CLI->load chain
     np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=5e-3)
     np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# block-level oracles: distinctive zoo blocks vs the reference's own classes
+# --------------------------------------------------------------------------
+
+
+def _block_oracle(ref_block, our_module, cin, hw=16, seed=80, atol=2e-3, train_bn_eps=True):
+    """Shared harness: randomize the reference block, convert, compare."""
+    if train_bn_eps:
+        for m in ref_block.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.eps, m.momentum = 1e-3, 0.03
+    sd = _randomize_sd(ref_block)
+    ref_block.eval()
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, hw, hw, cin)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_block(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.permute(0, 2, 3, 1).numpy()
+
+    variables = our_module.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    got = np.asarray(our_module.apply(variables, jnp.asarray(x), False))
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
+
+
+def test_sppcspc_oracle():
+    """SPPCSPC (common.py:1908-1927): the YOLOv7 CSP-SPP neck block."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import SPPCSPC as OurSPPCSPC
+
+    _block_oracle(ref_common.SPPCSPC(64, 32), OurSPPCSPC(32), cin=64)
+
+
+def test_coor_attention_oracle():
+    """CoorAttention (common.py:1399-1460): pooled h/w profiles through a
+    shared conv, h-swish, split sigmoid gates."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import CoorAttention as OurCoorAttention
+
+    _block_oracle(ref_common.CoorAttention(64, 64), OurCoorAttention(64), cin=64)
+
+
+def test_ghost_conv_oracle():
+    """GhostConv (common.py:1999-2009) — also exercises the rebound-Conv
+    7th-positional-arg defect path (act passed where ultralytics expects
+    dilation; the stub interprets bool as act, the only working reading)."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import GhostConv as OurGhostConv
+
+    _block_oracle(ref_common.GhostConv(32, 64), OurGhostConv(64), cin=32)
+
+
+@pytest.mark.parametrize("s", [1, 2])
+def test_ghost_bottleneck_oracle(s):
+    """GhostBottleneck (common.py:2012-2023): ghost stages in anonymous
+    `conv`/`shortcut` Sequentials (candidate key mapping), with the
+    stride-2 depthwise shortcut branch."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import GhostBottleneck as OurGhostBottleneck
+
+    _block_oracle(ref_common.GhostBottleneck(48, 48, 3, s), OurGhostBottleneck(48, 3, s), cin=48)

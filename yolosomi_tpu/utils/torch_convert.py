@@ -132,6 +132,20 @@ def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
     # BatchNorm 'batch_norm' where the standard Conv wrapper names it 'bn'
     if ".bn." in primary:
         out.append(primary.replace(".bn.", ".batch_norm."))
+    # GhostBottleneck (reference common.py:2012-2023) wraps its stages in
+    # anonymous Sequentials `conv`/`shortcut`; our flax names are flat.
+    # Candidates only — conv1/conv2 are also legitimate direct names
+    # elsewhere (CLLABlock), so the torch key set disambiguates.
+    for pat, rep in (
+        (r"(^|\.)conv1\.", r"\1conv.0."),
+        (r"(^|\.)dw\.", r"\1conv.1."),
+        (r"(^|\.)conv2\.", r"\1conv.2."),
+        (r"(^|\.)sc_dw\.", r"\1shortcut.0."),
+        (r"(^|\.)sc_pw\.", r"\1shortcut.1."),
+    ):
+        alt = re.sub(pat, rep, primary)
+        if alt != primary:
+            out.append(alt)
     return out
 
 

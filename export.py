@@ -23,6 +23,13 @@ export.py:50-251):
                   its frozen Const-bearing GraphDef — reference
                   counterpart export.py:246-263 (which shells out to the
                   absent tensorflowjs_converter)
+    coreml      : CoreML .mlmodel NeuralNetwork protobuf, written
+                  directly in wire format from the torch mirror with BN
+                  folded (utils/coreml_export.py) — reference counterpart
+                  export.py:130-161 (which needs the absent coremltools);
+                  verified by an independent parser + EXECUTED torch
+                  re-interpretation of the artifact bytes
+                  (tests/test_coreml_export.py); yolov5-family graphs
 
 Each export wraps forward + decode; NMS stays outside (like the
 reference's default exports) unless --nms.
@@ -206,6 +213,22 @@ def run(
             outputs.append(out)
         except NotImplementedError as e:
             LOGGER.warning(f"ONNX: skipped — {e}")
+    if "coreml" in include:
+        from yolosomi_tpu.utils.coreml_export import coreml_summary, export_coreml
+
+        out = save_dir / "model.mlmodel"
+        try:
+            export_coreml(
+                runner.meta.yaml, runner.meta, runner.variables, str(out), imgsz=imgsz
+            )
+            s = coreml_summary(str(out))
+            LOGGER.info(
+                f"CoreML: {out} (spec v{s['spec_version']}, {s['n_layers']} layers, "
+                f"ops {sorted(s['ops'])}, outputs {s['outputs']})"
+            )
+            outputs.append(out)
+        except NotImplementedError as e:
+            LOGGER.warning(f"CoreML: skipped — {e}")
     if "stablehlo" in include:
         outputs.append(export_stablehlo(fn, imgsz, batch_size, save_dir / "model.stablehlo.mlir"))
     sm_dir = None

@@ -1027,11 +1027,18 @@ def test_idetect_oracle():
     drops the ImplicitM multiply entirely — a latent defect that makes
     its own fused and unfused inference disagree; documented in
     PARITY.md. (Its non-inplace decode branch also omits the -0.5 xy
-    shift, yolo.py:427 — fuseforward uses the standard branch.)"""
+    shift, yolo.py:427 — fuseforward uses the standard branch.)
+
+    Anchor units: unlike Detect/DecoupledDetect (which recompute
+    anchor_grid = anchors * stride per level, yolo.py:107), IDetect
+    registers anchor_grid VERBATIM from its constructor arg
+    (yolo.py:400) and Model rescales only m.anchors (yolo.py:1203) —
+    so the real pipeline hands the constructor PIXEL anchors and the
+    decode reads pixels. The oracle must do the same."""
     from yolosomi_tpu.models.heads import IDetect as OurIDetect
 
     nc = 7
-    det = _prep_ref_head(ref_yolo.IDetect(nc=nc, anchors=_head_grid_anchors(), ch=(64, 128)))
+    det = _prep_ref_head(ref_yolo.IDetect(nc=nc, anchors=HEAD_ANCHORS_PX, ch=(64, 128)))
     sd = _randomize_sd(det)
     det.eval()
     det.fuse()

@@ -1306,3 +1306,261 @@ def test_ghost_bottleneck_oracle(s):
     from yolosomi_tpu.models.layers import GhostBottleneck as OurGhostBottleneck
 
     _block_oracle(ref_common.GhostBottleneck(48, 48, 3, s), OurGhostBottleneck(48, 3, s), cin=48)
+
+
+# --------------------------------------------------------------------------
+# DetectODConv + anchor-free v8/v11 head oracles
+# --------------------------------------------------------------------------
+
+
+def test_detect_odconv_oracle():
+    """DetectODConv (yolo.py:112-170): Detect with ODConv2d_3rd 1x1
+    prediction convs. B=2 so the reference's attention-trunk BN runs (it
+    skips BN entirely when B==1 — see test_odconv_b1_bn_skip_defect)."""
+    from yolosomi_tpu.models.heads import DetectODConvHead as OurDetectODConv
+
+    nc = 6
+    anchors_px = [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]]
+    strides = [8, 16]
+    anchors_grid = [[a / s for a in lv] for lv, s in zip(anchors_px, strides)]
+    det = ref_yolo.DetectODConv(nc=nc, anchors=anchors_grid, ch=(32, 64))
+    det.stride = torch.tensor([float(s) for s in strides])
+    sd = _randomize_sd(det)
+    det.eval()
+
+    rng = np.random.default_rng(33)
+    feats = [
+        rng.standard_normal((2, 16, 16, 32)).astype(np.float32),
+        rng.standard_normal((2, 8, 8, 64)).astype(np.float32),
+    ]
+    with torch.no_grad():
+        # .contiguous(): ODConv2d_3rd's grouped-conv trick uses .view
+        # (common.py:4603), which rejects the transposed NHWC layout
+        r_z, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)).contiguous() for f in feats])
+
+    ours = OurDetectODConv(nc=nc, anchors=tuple(tuple(a) for a in anchors_px), strides=tuple(strides))
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()  # (bs, na, ny, nx, no) -> (bs, ny, nx, na, no)
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}")
+
+    apx = np.asarray(anchors_px, np.float32).reshape(2, 3, 2)
+    dec = np.asarray(our_decode(j_maps, apx, strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, 3, nc + 5)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_odconv_b1_bn_skip_defect():
+    """Documented reference defect: ODConv2d_3rd's attention trunk runs
+    `if x.size(0) > 1: x = self.bn(x)` (common.py:4563-4564) — at batch
+    size 1 the BN is skipped EVEN IN EVAL, so the reference's own B=1 and
+    B=2 inference disagree for identical images whenever the running
+    stats are not identity. Ours always applies eval BN (the upstream
+    ODConv semantics). This test pins the defect so the deviation stays
+    deliberate: per-sample reference outputs differ between B=1 and B=2."""
+    import models.common as ref_common
+
+    od = ref_common.ODConv2d_3rd(16, 8, kernel_size=1, stride=1)
+    sd = od.state_dict()
+    g = torch.Generator().manual_seed(3)
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+    od.load_state_dict(sd)
+    od.eval()
+    # positive inputs: with all-positive weights a zero-mean input drives
+    # the attention trunk all-negative and ReLU hides the BN entirely
+    x = torch.rand(2, 16, 5, 5, generator=g) + 0.5
+    with torch.no_grad():
+        y2 = od(x)          # B=2: BN applied
+        y1 = od(x[:1])      # B=1: BN silently skipped
+    assert not torch.allclose(y1, y2[:1], atol=1e-4), "reference B=1 BN-skip defect vanished?"
+
+
+def _v8_feats(rng, nc, chs=(64, 128, 256), bs=2, base=16):
+    return [
+        rng.standard_normal((bs, base >> i, base >> i, c)).astype(np.float32)
+        for i, c in enumerate(chs)
+    ]
+
+
+def _our_v8_rows_xyxy(j_maps, strides, nc, reg_max=16):
+    """Decode our v8-head raw maps exactly like the reference's end2end
+    `_inference` (decode_bboxes xywh=False): xyxy pixel boxes + cls
+    sigmoid, rows (B, N, 4+nc)."""
+    from yolosomi_tpu.models.heads import DFL
+
+    dfl = DFL(reg_max)
+    rows = []
+    for i, p in enumerate(j_maps):
+        b, ny, nx, _ = p.shape
+        s = float(strides[i])
+        box, cls = p[..., : 4 * reg_max], p[..., 4 * reg_max :]
+        dist = dfl.apply({}, box.reshape(b, ny, nx, 4, reg_max))
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1) + 0.5
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0) + 0.5
+        x1 = (gx[None] - dist[..., 0]) * s
+        y1 = (gy[None] - dist[..., 1]) * s
+        x2 = (gx[None] + dist[..., 2]) * s
+        y2 = (gy[None] + dist[..., 3]) * s
+        conf = jax.nn.sigmoid(cls.astype(jnp.float32))
+        lvl = jnp.concatenate(
+            [jnp.stack([x1, y1, x2, y2], -1).reshape(b, ny * nx, 4), conf.reshape(b, ny * nx, nc)], -1
+        )
+        rows.append(lvl)
+    return jnp.concatenate(rows, axis=1)
+
+
+def test_detect_yolov8_oracle():
+    """DetectYOLOv8 (yolo.py:725-776): box/cls Sequential branches + the
+    reference's own DFL (common.py:2449) decode, vs our DetectV8 +
+    decode_v8 through the converter. Train-mode raw maps AND eval decoded
+    rows. Also pins the width rule: c3 = max(ch[0], nc) UNCAPPED (the
+    100-cap exists only in DetectYolov11, yolo.py:798)."""
+    from yolosomi_tpu.models.heads import DetectV8 as OurDetectV8
+    from yolosomi_tpu.models.heads import decode_v8 as our_decode_v8
+
+    nc, strides = 5, (8, 16, 32)
+    det = ref_yolo.DetectYOLOv8(nc=nc, ch=(64, 128, 256))
+    det.stride = torch.tensor([float(s) for s in strides])
+    for m in det.modules():  # the reference sets these in initialize_weights
+        if isinstance(m, nn.BatchNorm2d):
+            m.eps, m.momentum = 1e-3, 0.03
+    sd = _randomize_sd(det, skip=("anchor", "stride", "dfl"))  # dfl: frozen arange conv
+    det.eval()
+
+    rng = np.random.default_rng(44)
+    feats = _v8_feats(rng, nc)
+    with torch.no_grad():
+        # eval-mode second output IS the per-level raw map list (yolo.py:766)
+        # — comparing it (not a train() pass) keeps BN on running stats on
+        # both sides
+        r_y, r_maps = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurDetectV8(nc=nc, strides=strides)
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    # the only reference key with no counterpart leaf: DFL's frozen arange
+    # conv (a constant, not a learned weight)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        np.testing.assert_allclose(
+            np.asarray(jm), rm.permute(0, 2, 3, 1).numpy(), atol=2e-3, rtol=1e-3, err_msg=f"level {lvl}"
+        )
+
+    dec = np.asarray(our_decode_v8(j_maps, strides, nc))  # (B, N, 5+nc), obj col = 1
+    ref_rows = r_y.numpy().transpose(0, 2, 1)  # (B, 4+nc, N) -> (B, N, 4+nc)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 5:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_detect_yolo8head_width_variant():
+    """DetectYOLO8Head (yolo.py:187) is the same head with an extra unused
+    `width` arg and the same uncapped c3 — state_dict layouts must agree
+    so one converter path serves both registry names."""
+    a = ref_yolo.DetectYOLO8Head(nc=120, ch=(64, 128, 256))
+    b = ref_yolo.DetectYOLOv8(nc=120, ch=(64, 128, 256))
+    assert [(k, tuple(v.shape)) for k, v in a.state_dict().items()] == [
+        (k, tuple(v.shape)) for k, v in b.state_dict().items()
+    ]
+
+
+def test_detect_yolov11_oracle():
+    """DetectYolov11 (yolo.py:778-898): v8 box branch + SEAM class branch
+    (and the min(nc,100) c3 cap), vs our DetectV11 through the converter."""
+    from yolosomi_tpu.models.heads import DetectV11 as OurDetectV11
+    from yolosomi_tpu.models.heads import decode_v8 as our_decode_v8
+
+    nc, strides = 5, (8, 16, 32)
+    det = ref_yolo.DetectYolov11(nc=nc, ch=(64, 128, 256))
+    det.stride = torch.tensor([float(s) for s in strides])
+    for m in det.modules():  # the reference sets these in initialize_weights
+        if isinstance(m, nn.BatchNorm2d):
+            m.eps, m.momentum = 1e-3, 0.03
+    sd = _randomize_sd(det, skip=("anchor", "stride", "dfl"))  # dfl: frozen arange conv
+    det.eval()
+
+    rng = np.random.default_rng(55)
+    feats = _v8_feats(rng, nc)
+    with torch.no_grad():
+        r_y, _ = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+
+    ours = OurDetectV11(nc=nc, strides=strides)
+    variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats], False)
+    variables = convert_state_dict(sd, variables, strict=True)
+    j_maps = ours.apply(variables, [jnp.asarray(f) for f in feats], False)
+
+    dec = np.asarray(our_decode_v8(j_maps, strides, nc))
+    ref_rows = r_y.numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 5:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_detect_yolov11_end2end_oracle():
+    """The v11 end2end path (yolo.py:828-922): detached one2one branches,
+    xyxy decode (decode_bboxes xywh=not end2end), and the NMS-free top-k
+    `postprocess` vs our postprocess_end2end — output rows (B, max_det, 6)
+    compared value-for-value, order included."""
+    from yolosomi_tpu.models.heads import DetectV11 as OurDetectV11
+    from yolosomi_tpu.models.heads import postprocess_end2end as our_post
+
+    import copy as _copy_mod
+
+    nc, strides, max_det = 5, (8, 16, 32), 20
+    ref_yolo.DetectYolov11.end2end = True
+    # latent reference defect: common.py:13 `from copy import copy` is
+    # star-imported into yolo.py, shadowing the module — `copy.deepcopy`
+    # (yolo.py:811) raises AttributeError, so the end2end head is
+    # unconstructible as shipped. Patch exactly that name for the oracle.
+    _copy_prev = ref_yolo.copy
+    ref_yolo.copy = _copy_mod
+    try:
+        det = ref_yolo.DetectYolov11(nc=nc, ch=(64, 128, 256))
+        det.max_det = max_det
+        det.stride = torch.tensor([float(s) for s in strides])
+        for m in det.modules():  # the reference sets these in initialize_weights
+            if isinstance(m, nn.BatchNorm2d):
+                m.eps, m.momentum = 1e-3, 0.03
+        sd = _randomize_sd(det, skip=("anchor", "stride", "dfl"))  # dfl: frozen arange conv
+
+        det.eval()
+        rng = np.random.default_rng(66)
+        feats = _v8_feats(rng, nc)
+        with torch.no_grad():
+            # eval second output: {"one2many": maps, "one2one": maps}
+            r_post, r_dict = det([torch.from_numpy(f.transpose(0, 3, 1, 2)) for f in feats])
+    finally:
+        ref_yolo.DetectYolov11.end2end = False
+        ref_yolo.copy = _copy_prev
+
+    ours = OurDetectV11(nc=nc, strides=strides, end2end=True)
+    j_feats = [jnp.asarray(f) for f in feats]
+    variables = ours.init(jax.random.PRNGKey(0), j_feats, True)
+    variables = convert_state_dict(sd, variables, strict=True)
+
+    # one2many branch parity via a non-e2e head sharing the same params
+    # (the e2e eval path returns only one2one maps, mirroring the decode)
+    j_one2many = OurDetectV11(nc=nc, strides=strides, end2end=False).apply(variables, j_feats, False)
+    for lvl, (rm, jm) in enumerate(zip(r_dict["one2many"], j_one2many)):
+        np.testing.assert_allclose(
+            np.asarray(jm), rm.permute(0, 2, 3, 1).numpy(), atol=2e-3, rtol=1e-3,
+            err_msg=f"one2many level {lvl}",
+        )
+
+    j_one2one = ours.apply(variables, j_feats, False)
+    for lvl, (rm, jm) in enumerate(zip(r_dict["one2one"], j_one2one)):
+        np.testing.assert_allclose(
+            np.asarray(jm), rm.permute(0, 2, 3, 1).numpy(), atol=2e-3, rtol=1e-3,
+            err_msg=f"one2one level {lvl}",
+        )
+    rows = _our_v8_rows_xyxy(j_one2one, strides, nc)
+    got = np.asarray(our_post(rows, max_det=max_det, nc=nc))
+    want = r_post.numpy()
+    np.testing.assert_allclose(got[..., :4], want[..., :4], atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(got[..., 4], want[..., 4], atol=2e-3)  # scores
+    np.testing.assert_array_equal(got[..., 5], want[..., 5])  # class ids

@@ -209,7 +209,9 @@ class DetectV8(nn.Module):
     def __call__(self, xs: Sequence[jax.Array], train: bool = False):
         outs = []
         c2 = max(16, xs[0].shape[-1] // 4, self.reg_max * 4)
-        c3 = max(xs[0].shape[-1], min(self.nc, 100))
+        # both reference v8 heads use the UNCAPPED max(ch[0], nc)
+        # (yolo.py:204,741); only DetectYolov11 caps at min(nc, 100)
+        c3 = max(xs[0].shape[-1], self.nc)
         for i, x in enumerate(xs):
             b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
             b = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)

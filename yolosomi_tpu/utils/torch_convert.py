@@ -79,6 +79,14 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     )
     # DPE's up_forp{2,3} are Sequential(Upsample, Conv) — the Conv is slot 1
     key = key.replace(".up_forp2.", ".up_forp2.1.").replace(".up_forp3.", ".up_forp3.1.")
+    # anchor-free v8/v11 heads (yolo.py:187/725/778): per-level Sequential
+    # branches cv2.{i}.{j} / cv3.{i}.{j}; our flax names flatten them to
+    # cv2_{i}_{j} (and one2one_cv2_{i}_{j} for the end2end copies)
+    key = re.sub(
+        r"(^|\.)(one2one_)?(cv2|cv3)_(\d+)_(\d+)\.",
+        lambda m: f"{m.group(1)}{m.group(2) or ''}{m.group(3)}.{m.group(4)}.{m.group(5)}.",
+        key,
+    )
 
     if collection == "batch_stats":
         stat = {"mean": "running_mean", "var": "running_var"}[leaf]

@@ -1564,3 +1564,97 @@ def test_detect_yolov11_end2end_oracle():
     np.testing.assert_allclose(got[..., :4], want[..., :4], atol=5e-2, rtol=1e-3)
     np.testing.assert_allclose(got[..., 4], want[..., 4], atol=2e-3)  # scores
     np.testing.assert_array_equal(got[..., 5], want[..., 5])  # class ids
+
+
+# --------------------------------------------------------------------------
+# CSP/SPP/experimental/transformer block oracles
+# --------------------------------------------------------------------------
+
+
+def test_spp_oracle():
+    """SPP (common.py:1806-1827): parallel 5/9/13 max-pools, symmetric
+    torch padding."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import SPP as OurSPP
+
+    _block_oracle(ref_common.SPP(64, 48), OurSPP(48), cin=64)
+
+
+def test_bottleneck_csp_oracle():
+    """BottleneckCSP (common.py:1512-1539): CSP with bare cv2/cv3 convs and
+    a post-concat BN+SiLU."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import BottleneckCSP as OurBottleneckCSP
+
+    _block_oracle(ref_common.BottleneckCSP(64, 64, n=2), OurBottleneckCSP(64, n=2), cin=64)
+
+
+def test_simam_oracle():
+    """SimAM (common.py:2915-2940): parameter-free energy attention."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import SimAM as OurSimAM
+
+    _block_oracle(ref_common.SimAM(32), OurSimAM(), cin=32, atol=1e-5)
+
+
+def test_cross_conv_oracle():
+    """CrossConv (experimental.py:15-27): 1xk then kx1 factorized conv."""
+    import models.experimental as ref_exp
+
+    from yolosomi_tpu.models.layers import CrossConv as OurCrossConv
+
+    _block_oracle(ref_exp.CrossConv(32, 32, 3, 1, 1, 1.0, True), OurCrossConv(32, 3, 1, 1, 1.0, True), cin=32)
+
+
+def test_mixconv2d_oracle():
+    """MixConv2d (experimental.py:50-71): linspace-floor channel split +
+    per-branch groups=gcd(c1, c_) — this oracle caught and fixed two real
+    deviations (our split gave the remainder to the FIRST branches; our
+    branches were ungrouped)."""
+    import models.experimental as ref_exp
+
+    from yolosomi_tpu.models.layers import MixConv2d as OurMixConv2d
+
+    # c2=51 with 3 kernels: linspace-floor gives (17,17,17); c2=50 gives
+    # (17,17,16) — the uneven case exercises the split rule
+    _block_oracle(ref_exp.MixConv2d(32, 50, (1, 3, 5), 1), OurMixConv2d(50, (1, 3, 5), 1), cin=32)
+
+
+def test_sum_oracle():
+    """Sum (experimental.py:29-47): weighted N-input sum with sigmoid*2
+    gains from the -arange(1,n)/2 parameter."""
+    import models.experimental as ref_exp
+
+    from yolosomi_tpu.models.layers import Sum as OurSum
+
+    rng = np.random.default_rng(81)
+    xs = [rng.standard_normal((2, 8, 8, 16)).astype(np.float32) for _ in range(3)]
+    for weight in (False, True):
+        ref = ref_exp.Sum(3, weight)
+        sd = {k: v.numpy().copy() for k, v in ref.state_dict().items()}
+        with torch.no_grad():
+            want = ref([torch.from_numpy(x.transpose(0, 3, 1, 2)) for x in xs])
+        ours = OurSum(3, weight)
+        variables = ours.init(jax.random.PRNGKey(0), [jnp.asarray(x) for x in xs], False)
+        if weight:
+            variables = convert_state_dict(sd, variables, strict=True)
+        got = np.asarray(ours.apply(variables, [jnp.asarray(x) for x in xs], False))
+        np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_c3tr_oracle():
+    """C3TR (common.py:1623-1630) whose TransformerBlock/TransformerLayer
+    (common.py:1023-1078) is the REFERENCE's variant: pre-LN, q/k/v linears
+    feeding a full nn.MultiheadAttention (double projection through the
+    packed in_proj), 4x ReLU MLP, dropout sites (identity in eval). This
+    oracle caught and replaced our old upstream-yolov5 TransformerLayer
+    (no LN, single projection, 1x MLP) — a genuinely different
+    architecture with different parameter shapes."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import C3TR as OurC3TR
+
+    _block_oracle(ref_common.C3TR(64, 64, n=2), OurC3TR(64, n=2), cin=64, hw=8, atol=5e-3)

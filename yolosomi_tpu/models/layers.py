@@ -952,33 +952,67 @@ class Expand(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-class TransformerLayer(nn.Module):
-    """LayerNorm-free transformer layer (reference: common.py:1023-1049:
-    q/k/v linears + MHA + two linears, residual adds)."""
+class _TorchMHA(nn.Module):
+    """nn.MultiheadAttention body with torch's parameter layout: packed
+    in_proj_weight/bias rows [W_q; W_k; W_v], q scaled by head_dim**-0.5
+    after projection, out_proj Linear. Kept layout-compatible so a
+    reference checkpoint's ma.* keys convert unchanged."""
 
     c: int
     num_heads: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, N, C)
-        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
-        B, N, C = x.shape
-        h = self.num_heads
+    def __call__(self, q, k, v):  # each (B, N, C)
+        C, h = self.c, self.num_heads
         hd = C // h
+        w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * C, C), jnp.float32)
+        b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * C,), jnp.float32)
+        wq, wk, wv = (w_in[:C], w_in[C : 2 * C], w_in[2 * C :])
+        bq, bk, bv = (b_in[:C], b_in[C : 2 * C], b_in[2 * C :])
+        dt = q.dtype
+        q = (q @ wq.T.astype(dt) + bq.astype(dt)) * (hd ** -0.5)
+        k = k @ wk.T.astype(dt) + bk.astype(dt)
+        v = v @ wv.T.astype(dt) + bv.astype(dt)
+        B, N, _ = q.shape
 
         def split(t):
             return t.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
 
-        attn = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)) / jnp.sqrt(hd).astype(x.dtype), axis=-1
-        )
+        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", split(q), split(k)), axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, split(v)).transpose(0, 2, 1, 3).reshape(B, N, C)
-        x = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="ma_out")(out) + x
-        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
-        return nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
+        return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Faithful port of the reference TransformerLayer (common.py:1023-1049):
+    pre-LN -> q/k/v linears feeding a FULL nn.MultiheadAttention (which
+    applies its own packed in_proj on top — the reference double-projects)
+    -> residual; pre-LN -> 4x-wide ReLU MLP (bias-free fc1/fc2) ->
+    residual. The Dropout(0.1) sites are active only when training with a
+    'dropout' rng; eval is deterministic like torch eval()."""
+
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, N, C)
+        drop = train and self.has_rng("dropout")
+
+        def dropout(t, name):
+            return nn.Dropout(0.1, deterministic=not drop, name=name)(t)
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(y)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(y)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(y)
+        x = dropout(_TorchMHA(self.c, self.num_heads, dtype=self.dtype, name="ma")(q, k, v), "drop1") + x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
+        y = nn.Dense(4 * self.c, use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = dropout(nn.relu(y), "drop2")
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return x + dropout(y, "drop3")
 
 
 class TransformerBlock(nn.Module):
@@ -998,7 +1032,7 @@ class TransformerBlock(nn.Module):
         p = x.reshape(B, H * W, C)
         p = p + nn.Dense(C, dtype=self.dtype, name="linear")(p)  # learned pos encoding
         for i in range(self.n):
-            p = TransformerLayer(C, self.num_heads, dtype=self.dtype, name=f"tr{i}")(p)
+            p = TransformerLayer(C, self.num_heads, dtype=self.dtype, name=f"tr{i}")(p, train)
         return p.reshape(B, H, W, C)
 
 
@@ -1335,9 +1369,13 @@ class MixConv2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = len(self.k)
-        splits = [self.c2 // n + (1 if i < self.c2 % n else 0) for i in range(n)]
+        c1 = x.shape[-1]
+        # equal_ch split: linspace-floor bucket counts (experimental.py:54-55)
+        idx = np.floor(np.linspace(0, n - 1e-6, self.c2))
+        splits = [int((idx == g).sum()) for g in range(n)]
+        # per-branch grouped conv with groups=gcd(c1, c_) (experimental.py:64)
         outs = [
-            ConvRaw(c, k, self.s, use_bias=False, dtype=self.dtype, name=f"m{i}")(x)
+            ConvRaw(c, k, self.s, g=math.gcd(c1, c), use_bias=False, dtype=self.dtype, name=f"m{i}")(x)
             for i, (c, k) in enumerate(zip(splits, self.k))
         ]
         y = jnp.concatenate(outs, axis=-1)

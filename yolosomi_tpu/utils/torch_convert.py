@@ -128,7 +128,9 @@ def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
       :1036), others wrap the pair in `fc = nn.Sequential` with the layers
       at slots 0 and 2 (SEAM common.py:8470, EMACBAMBottleneck :910) — so
       X.fc1.* and X.fc.0.* are both offered."""
-    primary = _path_to_torch_key(path, collection)
+    # a root-level param (e.g. Sum's `w`) has no module prefix: drop the
+    # leading dot the join would otherwise produce
+    primary = _path_to_torch_key(path, collection).lstrip(".")
     out = [primary]
     if path[-1] == "bias" and len(path) >= 2 and path[-2] == "conv":
         joined = primary[: -len(".bias")]

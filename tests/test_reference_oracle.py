@@ -1658,3 +1658,21 @@ def test_c3tr_oracle():
     from yolosomi_tpu.models.layers import C3TR as OurC3TR
 
     _block_oracle(ref_common.C3TR(64, 64, n=2), OurC3TR(64, n=2), cin=64, hw=8, atol=5e-3)
+
+
+def test_c3str_oracle():
+    """C3STR (common.py:1632-1637) — the Swin branch: WindowAttention with
+    relative-position bias, shifted windows + mask, exact-GELU Mlp. The
+    reference runs Swin on TRANSPOSED spatial ((B,C,H,W)->(B,W,H,C),
+    common.py:1321); this oracle pins our NHWC formulation to it,
+    including the bias-table index orientation (W-delta major) — it
+    caught and fixed three real deviations: our qkv used bias (reference
+    layer passes qkv_bias=False), tanh-GELU vs torch's exact erf, and the
+    transposed relative-position index."""
+    import models.common as ref_common
+
+    from yolosomi_tpu.models.layers import C3STR as OurC3STR
+
+    # c_=32 -> 1 head; n=2 exercises both the plain and the shifted layer
+    # (shift_size=4, window 8) at hw=16 (two windows per axis)
+    _block_oracle(ref_common.C3STR(64, 64, n=2), OurC3STR(64, n=2), cin=64, atol=5e-3)

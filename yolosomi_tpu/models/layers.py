@@ -1879,7 +1879,13 @@ class WindowAttention(nn.Module):
         )
         coords = jnp.stack(jnp.meshgrid(jnp.arange(ws), jnp.arange(ws), indexing="ij"), 0).reshape(2, -1)
         rel = coords[:, :, None] - coords[:, None, :]
-        idx = (rel[0] + ws - 1) * (2 * ws - 1) + (rel[1] + ws - 1)  # (N, N)
+        # index orientation: the reference runs Swin on TRANSPOSED spatial
+        # (yolo Swin permutes (B,C,H,W)->(B,W,H,C), common.py:1321), so its
+        # bias-table major axis is the natural W delta. We operate on NHWC
+        # directly; the W delta (rel[1]) must be the major term for a
+        # converted reference checkpoint to read the same table entries
+        # (pinned by the C3STR reference oracle).
+        idx = (rel[1] + ws - 1) * (2 * ws - 1) + (rel[0] + ws - 1)  # (N, N)
         bias = table[idx.reshape(-1)].reshape(N, N, nh).transpose(2, 0, 1)
 
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
@@ -1914,7 +1920,7 @@ class SwinTransformerLayer(nn.Module):
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
@@ -1938,15 +1944,18 @@ class SwinTransformerLayer(nn.Module):
             mask = jnp.asarray(np.where(am != 0, -100.0, 0.0), jnp.float32)
 
         wins = window_partition(y, ws).reshape(-1, ws * ws, c)
-        wins = WindowAttention(c, ws, self.num_heads, dtype=self.dtype, name="attn")(wins, mask)
+        # the reference layer passes qkv_bias=False (common.py:1270-1283)
+        wins = WindowAttention(c, ws, self.num_heads, qkv_bias=False, dtype=self.dtype, name="attn")(wins, mask)
         y = window_reverse(wins.reshape(-1, ws, ws, c), ws, hp, wp)
         if ss > 0:
             y = jnp.roll(y, (ss, ss), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + y
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(z)
-        z = nn.gelu(z)
+        # torch nn.GELU default is exact erf; tanh under bf16 (sub-rounding
+        # there, and erf lowers expensively — same policy as SEAM above)
+        z = nn.gelu(z, approximate=self.dtype == jnp.bfloat16)
         z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(z)
         return x + z
 

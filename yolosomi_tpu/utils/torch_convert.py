@@ -79,6 +79,9 @@ def _path_to_torch_key(path: List[str], collection: str) -> str:
     )
     # DPE's up_forp{2,3} are Sequential(Upsample, Conv) — the Conv is slot 1
     key = key.replace(".up_forp2.", ".up_forp2.1.").replace(".up_forp3.", ".up_forp3.1.")
+    # Swin Mlp (common.py:1147): our flat mlp_fc1/mlp_fc2 names live in the
+    # reference's `mlp` submodule
+    key = key.replace(".mlp_fc1", ".mlp.fc1").replace(".mlp_fc2", ".mlp.fc2")
     # anchor-free v8/v11 heads (yolo.py:187/725/778): per-level Sequential
     # branches cv2.{i}.{j} / cv3.{i}.{j}; our flax names flatten them to
     # cv2_{i}_{j} (and one2one_cv2_{i}_{j} for the end2end copies)

@@ -307,25 +307,43 @@ def _ghost_bottleneck(m, p, st, x):
     return y + sc
 
 
+def _layernorm(p, x, eps=1e-5):
+    tf = _tf()
+    mean = tf.reduce_mean(x, axis=-1, keepdims=True)
+    var = tf.reduce_mean(tf.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * tf.math.rsqrt(var + np.float32(eps)) * tf.constant(
+        p["scale"]
+    ) + tf.constant(p["bias"])
+
+
 def _transformer_layer(p, x, num_heads):
+    """Mirror of layers.TransformerLayer: pre-LN -> bias-free q/k/v
+    linears -> torch-layout MultiheadAttention (packed in_proj on top —
+    the reference double-projects) -> residual; pre-LN -> 4x ReLU MLP
+    (bias-free) -> residual."""
     tf = _tf()
     B = -1
     N, C = (int(d) for d in x.shape[1:])
     h = num_heads
     hd = C // h
-    q, k, v = (_dense(p[n], x) for n in ("q", "k", "v"))
+    y = _layernorm(p["ln1"], x)
+    q, k, v = (_dense(p[n], y) for n in ("q", "k", "v"))
+    w_in = np.asarray(p["ma"]["in_proj_weight"])  # torch layout (3C, C)
+    b_in = np.asarray(p["ma"]["in_proj_bias"])
+    q = (q @ tf.constant(w_in[:C].T) + tf.constant(b_in[:C])) * np.float32(hd**-0.5)
+    k = k @ tf.constant(w_in[C : 2 * C].T) + tf.constant(b_in[C : 2 * C])
+    v = v @ tf.constant(w_in[2 * C :].T) + tf.constant(b_in[2 * C :])
 
     def split(t):
         return tf.transpose(tf.reshape(t, [B, N, h, hd]), [0, 2, 1, 3])
 
-    attn = tf.nn.softmax(
-        tf.einsum("bhnd,bhmd->bhnm", split(q), split(k)) / np.float32(np.sqrt(hd)), axis=-1
-    )
+    attn = tf.nn.softmax(tf.einsum("bhnd,bhmd->bhnm", split(q), split(k)), axis=-1)
     out = tf.reshape(
         tf.transpose(tf.einsum("bhnm,bhmd->bhnd", attn, split(v)), [0, 2, 1, 3]), [B, N, C]
     )
-    x = _dense(p["ma_out"], out) + x
-    return _dense(p["fc2"], _dense(p["fc1"], x)) + x
+    x = _dense(p["ma"]["out_proj"], out) + x
+    y = _layernorm(p["ln2"], x)
+    return _dense(p["fc2"], tf.nn.relu(_dense(p["fc1"], y))) + x
 
 
 def _transformer_block(m_c2, m_heads, m_n, p, st, x):

@@ -120,9 +120,10 @@ if __name__ == "__main__":
     ips = bench()
     print(
         "# headline = unmodified flagship (physics ceiling ~807 bf16). The "
-        "TPU-shaped serving students reach 914 (somi-t) and 1,645 img/s/chip "
-        "(somi-t-p3, int8 b128) on this protocol — PERF.md serving-family table; "
-        "bench.bench(cfg='yolo-somi-t-p3') reproduces."
+        "TPU-shaped serving students reach 914 (somi-t), 1,817 (somi-t-p3s) "
+        "and 2,226 img/s/chip (somi-t-p3s8, int8 b128 — 111% of the 2,000 "
+        "north star) on this protocol — PERF.md serving-family tables; "
+        "bench.bench(cfg='yolo-somi-t-p3s8', batches=(128,)) reproduces."
     )
     n_dev = max(jax.device_count(), 1)
     per_chip = ips / n_dev

@@ -1676,3 +1676,88 @@ def test_c3str_oracle():
     # c_=32 -> 1 head; n=2 exercises both the plain and the shifted layer
     # (shift_size=4, window 8) at hw=16 (two windows per axis)
     _block_oracle(ref_common.C3STR(64, 64, n=2), OurC3STR(64, n=2), cin=64, atol=5e-3)
+
+
+# --------------------------------------------------------------------------
+# FULL HUB-GRAPH oracles beyond yolov5s: the v10 backbone family
+# (SCDown/PSA/C2fCIB/CIB, common.py:7192-7260, 8981-9036) and the P6
+# 4-level yolov5s6 graph, each through the reference's own
+# Model/parse_model with shared weights via the converter.
+# --------------------------------------------------------------------------
+
+V10_ANCHORS = [
+    [10, 13, 16, 30, 33, 23],
+    [30, 61, 62, 45, 59, 119],
+    [116, 90, 156, 198, 373, 326],
+]
+
+
+def _hub_oracle_pair(name, nc, anchors=None, width=None, depth=None, imgsz=128):
+    import copy
+
+    import yaml as _yaml
+
+    cfg = copy.deepcopy(load_model_cfg(find_config(name)))
+    cfg["nc"] = nc
+    if anchors is not None:
+        # explicit anchors: the reference expands int `anchors: n` to the
+        # range(2n) placeholder ladder (yolo.py:1610-1620) that only
+        # autoanchor later repairs; ours picks a geometric ladder
+        # (models/yolo.py ModelMeta). Pin real values to compare decode.
+        cfg["anchors"] = anchors
+    if width is not None:
+        cfg["width_multiple"] = width
+    if depth is not None:
+        cfg["depth_multiple"] = depth
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        _yaml.safe_dump(cfg, f)
+        ref_yaml = f.name
+    ref_model = ref_yolo.Model(ref_yaml, ch=3, nc=nc)
+    sd = _randomize_sd(ref_model)
+    ref_model.eval()
+
+    model, meta = build_model(cfg, nc=nc)
+    variables = init_model(model, meta, imgsz=imgsz)
+    variables = convert_state_dict(sd, variables, strict=True)
+    return ref_model, sd, model, meta, variables
+
+
+def _full_graph_forward_check(pair, nc, imgsz, seed, atol_maps=2e-3, atol_box=2e-1):
+    ref_model, sd, model, meta, variables = pair
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, imgsz, imgsz, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        r_z, r_maps = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    j_maps = model.apply(variables, jnp.asarray(x), False)
+    for lvl, (rm, jm) in enumerate(zip(r_maps, j_maps)):
+        rm = rm.permute(0, 2, 3, 1, 4).numpy()
+        np.testing.assert_allclose(np.asarray(jm), rm, atol=atol_maps, rtol=1e-3, err_msg=f"level {lvl}")
+
+    na = meta.anchors_px.shape[1]
+    dec = np.asarray(our_decode(j_maps, meta.anchors_px, meta.strides))
+    ref_rows = _reorder_ref_rows(r_z.numpy(), r_maps, na, nc + 5)
+    np.testing.assert_allclose(dec[..., :4], ref_rows[..., :4], atol=atol_box, rtol=1e-3)
+    np.testing.assert_allclose(dec[..., 4:], ref_rows[..., 4:], atol=2e-3)
+
+
+def test_full_yolov10_oracle_forward():
+    """The v10 hub graph (models/hub/yolov10.yaml): reference Model with
+    its own SCDown, PSA/AttentionPSA, C2fCIB/CIB, C2f, SPPF and Detect vs
+    our build_model, same weights, raw maps + decoded boxes. width 0.5
+    keeps PSA's integer head count (c=256 -> 4 heads) while exercising
+    every block family."""
+    pair = _hub_oracle_pair(
+        "yolov10", nc=10, anchors=V10_ANCHORS, width=0.5, depth=0.33, imgsz=128
+    )
+    _full_graph_forward_check(pair, nc=10, imgsz=128, seed=101)
+
+
+def test_full_yolov5s6_oracle_forward():
+    """The P6 4-level hub graph (models/hub/yolov5s6.yaml, stride 64,
+    6x6 s2 p2 stem conv): reference Model vs ours, raw maps + decode on
+    all four levels."""
+    pair = _hub_oracle_pair("yolov5s6", nc=80, imgsz=128)
+    _full_graph_forward_check(pair, nc=80, imgsz=128, seed=103)

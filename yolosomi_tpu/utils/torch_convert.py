@@ -159,6 +159,13 @@ def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
         alt = re.sub(pat, rep, primary)
         if alt != primary:
             out.append(alt)
+    # v10 blocks wrap their stages in anonymous Sequentials: CIB's five
+    # convs live in `cv1 = nn.Sequential(...)` (common.py:8990-8996) and
+    # PSA's FFN pair in `ffn = nn.Sequential(...)` (common.py:7244-7247);
+    # our flax names flatten them to cv1_{i} / ffn_{i}
+    alt = re.sub(r"(^|\.)(cv1|ffn)_(\d+)\.", lambda m: f"{m.group(1)}{m.group(2)}.{m.group(3)}.", primary)
+    if alt != primary:
+        out.append(alt)
     return out
 
 

@@ -1761,3 +1761,40 @@ def test_full_yolov5s6_oracle_forward():
     all four levels."""
     pair = _hub_oracle_pair("yolov5s6", nc=80, imgsz=128)
     _full_graph_forward_check(pair, nc=80, imgsz=128, seed=103)
+
+
+_P2_ANCHORS = [
+    [4, 5, 8, 10, 13, 16],
+    [10, 13, 16, 30, 33, 23],
+    [30, 61, 62, 45, 59, 119],
+    [116, 90, 156, 198, 373, 326],
+]
+_P7_ANCHORS = _P2_ANCHORS + [[436, 615, 739, 380, 925, 792]]
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("yolov3", {}),
+        ("yolov3-tiny", {}),  # MaxPool2d/ZeroPad2d rows
+        ("yolov3-spp", {}),  # SPP
+        ("yolov5-fpn", {"depth": 0.33, "width": 0.25}),  # BottleneckCSP
+        ("yolov5-panet", {"depth": 0.33, "width": 0.25}),
+        ("yolov5-bifpn", {"depth": 0.33, "width": 0.25}),  # Concat-style BiFPN row
+        ("yolov5-p2", {"depth": 0.33, "width": 0.25, "anchors": _P2_ANCHORS}),
+        ("yolov5-p7", {"depth": 0.33, "width": 0.25, "anchors": _P7_ANCHORS, "imgsz": 256}),
+    ],
+)
+def test_full_hub_catalog_oracle_forward(name, kw):
+    """Every remaining anchor-based hub graph through the reference's own
+    Model vs ours: v3 family (plain Bottleneck ladder, tiny's pool rows,
+    SPP), the fpn/panet/bifpn neck variants, and the P2/P7 pyramid
+    extremes (stride 4 and 128). Int-anchor configs get explicit pinned
+    anchors (the reference's range-placeholder expansion differs from our
+    geometric ladder by design — see _hub_oracle_pair)."""
+    imgsz = kw.pop("imgsz", 128)
+    if name.startswith("yolov3"):
+        kw.setdefault("width", 0.25)
+        kw.setdefault("depth", 0.33)
+    pair = _hub_oracle_pair(name, nc=7, imgsz=imgsz, **kw)
+    _full_graph_forward_check(pair, nc=7, imgsz=imgsz, seed=107)

@@ -166,6 +166,12 @@ def _torch_key_candidates(path: List[str], collection: str) -> List[str]:
     alt = re.sub(r"(^|\.)(cv1|ffn)_(\d+)\.", lambda m: f"{m.group(1)}{m.group(2)}.{m.group(3)}.", primary)
     if alt != primary:
         out.append(alt)
+    # n>1 plain modules (e.g. yolov3's Bottleneck ladders): the reference's
+    # parse_model wraps them in an anonymous nn.Sequential (yolo.py:1664,
+    # numeric child names); our compiler names the repeats mods_{i}
+    alt = re.sub(r"\.mods_(\d+)\.", lambda m: f".{m.group(1)}.", primary)
+    if alt != primary:
+        out.append(alt)
     return out
 
 

@@ -216,6 +216,7 @@ def parse_opt(argv=None):
                         help="split activations along H over N devices (1280px+ inputs)")
     parser.add_argument("--hide-labels", action="store_true")
     parser.add_argument("--hide-conf", action="store_true")
+    parser.add_argument("--line-thickness", type=int, default=2, help="annotation box line width (px)")
     parser.add_argument("--data", type=str, default=None, help="data yaml for class names")
     parser.add_argument("--classify", type=str, default=None,
                         help="second-stage classifier checkpoint (cfg:weights); reference detect.py:93")

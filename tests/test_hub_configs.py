@@ -19,7 +19,9 @@ from yolosomi_tpu.models.yolo import build_model, init_model
 from yolosomi_tpu.utils.config import CONFIG_ROOT, load_model_cfg
 
 ALL_CONFIGS = sorted(
-    list((CONFIG_ROOT / "models").glob("*.yaml")) + list((CONFIG_ROOT / "models" / "hub").glob("*.yaml"))
+    p
+    for p in list((CONFIG_ROOT / "models").glob("*.yaml")) + list((CONFIG_ROOT / "models" / "hub").glob("*.yaml"))
+    if p.name != "anchors.yaml"  # anchor preset catalog, not a model graph
 )
 
 V8_HEADS = ("DetectYOLOv8", "DetectYOLO8Head", "DetectV8", "DetectYolov11", "DetectV11")
@@ -72,3 +74,25 @@ def test_representative_configs_forward(name):
         rows = sum(int(meta.na * (imgsz / s) ** 2) for s in meta.strides)
         assert dec.shape == (1, rows, meta.nc + 5)
         assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_anchor_presets_resolve():
+    """`anchors: <preset-name>` in a model YAML resolves from the
+    hub/anchors.yaml catalog (reference ships the same catalog as
+    documentation, models/hub/anchors.yaml; here it is addressable)."""
+    from yolosomi_tpu.models.yolo import _anchor_preset, _resolve_anchors
+
+    a = _resolve_anchors("anchors_p6_1280", 4)
+    assert a.shape == (4, 3, 2)
+    assert a[0, 0].tolist() == [19.0, 27.0]
+    with pytest.raises(ValueError):
+        _resolve_anchors("anchors_p6_1280", 3)  # level-count mismatch
+    with pytest.raises(KeyError):
+        _anchor_preset("anchors_p9_640")
+
+    # a P6 hub graph built with a named preset gets those exact pixels
+    cfg = _tiny(load_model_cfg(CONFIG_ROOT / "models" / "hub" / "yolov5s6.yaml"))
+    cfg["anchors"] = "anchors_p6_1280"
+    _, meta = build_model(cfg)
+    assert meta.anchors_px.shape == (4, 3, 2)
+    assert meta.anchors_px[3, 2].tolist() == [925.0, 792.0]

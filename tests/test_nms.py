@@ -226,3 +226,27 @@ def test_fused_postprocess_classes_pre_argmax():
     assert len(gv) == len(rv) == 1
     assert gv[0, 5] == rv[0, 5] == 2.0
     np.testing.assert_allclose(gv, rv, atol=1e-4)
+
+
+def test_greedy_nms_host_hybrid_semantics():
+    """--save-hybrid pool rule (reference val.py:162-164): conf-1.0 label
+    rows always survive and suppress overlapping same-class predictions;
+    other-class overlaps are untouched (class-offset)."""
+    from val import _greedy_nms_host
+
+    rows = np.array(
+        [
+            [10, 10, 50, 50, 1.0, 0],   # label, cls 0
+            [12, 12, 52, 52, 0.9, 0],   # pred overlapping label, same cls -> suppressed
+            [12, 12, 52, 52, 0.8, 1],   # same box, other cls -> kept
+            [200, 200, 240, 240, 0.7, 0],  # far away -> kept
+        ],
+        np.float32,
+    )
+    out = _greedy_nms_host(rows, iou_thres=0.5)
+    assert len(out) == 3
+    assert out[0, 4] == 1.0  # label first (highest conf)
+    got = {(round(c, 3), int(k)) for c, k in out[:, 4:6].tolist()}
+    assert got == {(1.0, 0), (0.8, 1), (0.7, 0)}
+    # empty keep path
+    assert len(_greedy_nms_host(rows[:0], 0.5)) == 0

@@ -32,6 +32,30 @@ from yolosomi_tpu.utils.general import LOGGER, check_img_size, increment_path
 from yolosomi_tpu.utils.metrics import ConfusionMatrix, ap_per_class, fitness, process_batch
 
 
+def _greedy_nms_host(rows: np.ndarray, iou_thres: float, max_wh: float = 4096.0) -> np.ndarray:
+    """Greedy class-offset NMS on host over (n, 6) [xyxy, conf, cls] rows,
+    the same rule as the device path (reference: general.py:680-694). Used
+    only by --save-hybrid, where ground-truth rows must join the pool."""
+    order = np.argsort(-rows[:, 4], kind="stable")
+    boxes = rows[order, :4] + rows[order, 5:6] * max_wh
+    keep = []
+    alive = np.ones(len(rows), bool)
+    for i in range(len(rows)):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        x1 = np.maximum(boxes[i, 0], boxes[i + 1:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[i + 1:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[i + 1:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[i + 1:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[i + 1:, 2] - boxes[i + 1:, 0]) * (boxes[i + 1:, 3] - boxes[i + 1:, 1])
+        iou = inter / (a + b - inter + 1e-7)
+        alive[i + 1:] &= iou <= iou_thres
+    return rows[np.array(keep, int)] if keep else rows[:0]
+
+
 def run(
     data,
     weights=None,
@@ -44,7 +68,10 @@ def run(
     single_cls=False,
     augment=False,
     save_txt=False,
+    save_hybrid=False,
+    save_conf=False,
     save_json=False,
+    verbose=False,
     project="runs/val",
     name="exp",
     exist_ok=False,
@@ -156,15 +183,41 @@ def run(
                     tbox[:, 1:5] = np.asarray(scale_coords((h, w), tbox[:, 1:5], (h0, w0), ratio_pad))
             if single_cls and len(det):
                 det[:, 5] = 0
+            if save_hybrid and len(tbox):
+                # autolabel-hybrid (reference: val.py:162-164 injects labels
+                # as conf-1.0 candidates into NMS). Host equivalent: merge
+                # label rows at conf 1.0 with the detections and re-run the
+                # same greedy class-offset suppression — conf-1.0 rows sort
+                # first, so labels always survive and suppress overlapping
+                # same-class predictions, matching the in-NMS injection (up
+                # to second-order suppression chains among predictions).
+                lab_rows = np.concatenate(
+                    [tbox[:, 1:5], np.ones((len(tbox), 1), np.float32), tbox[:, 0:1]], 1
+                )
+                det = _greedy_nms_host(
+                    np.concatenate([lab_rows, det], 0).astype(np.float32), iou_thres
+                )
             correct = process_batch(det, tbox, iouv, alpha_iou=alpha_iou)
             stats.append((correct, det[:, 4], det[:, 5], tbox[:, 0]))
             if confusion is not None:
                 confusion.process_batch(det, tbox)
             if save_txt and len(det):
+                # reference txt format (val.py:34-38 save_one_txt): class +
+                # xywh normalized by the ORIGINAL image shape, %g fields,
+                # confidence appended only with --save-conf. This is also the
+                # format wbf.py fuses.
+                h0w0 = shapes[si][0] if shapes[si] is not None else (h, w)
+                gn = np.array([h0w0[1], h0w0[0], h0w0[1], h0w0[0]], np.float32)
                 (save_dir / "labels").mkdir(parents=True, exist_ok=True)
                 with open(save_dir / "labels" / (Path(paths[si]).stem + ".txt"), "a") as f:
                     for row in det:
-                        f.write(f"{int(row[5])} " + " ".join(f"{v:.2f}" for v in row[:5]) + "\n")
+                        xyxy = row[:4]
+                        xywh = np.array(
+                            [(xyxy[0] + xyxy[2]) / 2, (xyxy[1] + xyxy[3]) / 2,
+                             xyxy[2] - xyxy[0], xyxy[3] - xyxy[1]], np.float32,
+                        ) / gn
+                        line = (int(row[5]), *xywh, row[4]) if save_conf else (int(row[5]), *xywh)
+                        f.write(" ".join(f"{v:g}" for v in line) + "\n")
             if save_json and len(det):
                 stem = Path(paths[si]).stem
                 image_id = int(stem) if stem.isnumeric() else stem
@@ -200,7 +253,8 @@ def run(
     pf = "%20s" + "%11i" * 2 + "%11.3g" * 4
     LOGGER.info(("%20s" + "%11s" * 6) % ("Class", "Images", "Labels", "P", "R", "mAP@.5", "mAP@.5:.95"))
     LOGGER.info(pf % ("all", seen, nt.sum(), mp, mr, map50, map_))
-    if len(ap_class) and nc > 1 and nc < 50:
+    # per-class rows when verbose or few classes (reference val.py:205-207)
+    if len(ap_class) and nc > 1 and (verbose or nc < 50):
         for i, c in enumerate(ap_class):
             LOGGER.info(pf % (names[c] if c < len(names) else c, seen, nt[c], p[i], r[i], ap50[i], ap[i]))
 
@@ -259,7 +313,11 @@ def parse_opt(argv=None):
     parser.add_argument("--single-cls", action="store_true")
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--save-txt", action="store_true")
+    parser.add_argument("--save-hybrid", action="store_true",
+                        help="merge ground-truth labels into the NMS pool (autolabelling; reference val.py:162)")
+    parser.add_argument("--save-conf", action="store_true", help="append confidence to --save-txt rows")
     parser.add_argument("--save-json", action="store_true")
+    parser.add_argument("--verbose", action="store_true", help="per-class metric rows regardless of class count")
     parser.add_argument("--project", default="runs/val")
     parser.add_argument("--name", default="exp")
     parser.add_argument("--exist-ok", action="store_true")

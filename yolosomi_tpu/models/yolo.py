@@ -335,8 +335,27 @@ class ModelMeta:
         return self.anchors_px / np.asarray(self.strides, np.float32)[:, None, None]
 
 
+def _anchor_preset(name: str):
+    """Look up a named anchor set from configs/models/hub/anchors.yaml
+    (counterpart of the reference's documentation-only models/hub/anchors.yaml;
+    here `anchors: anchors_p6_1280` in a model YAML resolves directly)."""
+    import yaml
+
+    from yolosomi_tpu.utils.config import find_config
+
+    path = find_config("hub/anchors", kind="models")
+    presets = yaml.safe_load(open(path))
+    if name not in presets:
+        raise KeyError(f"anchor preset {name!r} not in {path} (have: {sorted(presets)})")
+    return presets[name]
+
+
 def _resolve_anchors(anchors, nl: int) -> np.ndarray:
     """Return (nl, na, 2) pixel anchors from a YAML anchors field."""
+    if isinstance(anchors, str):
+        anchors = _anchor_preset(anchors)
+        if len(anchors) != nl:
+            raise ValueError(f"anchor preset has {len(anchors)} levels, model has {nl}")
     if isinstance(anchors, int):
         if nl in _DEFAULT_ANCHORS and len(_DEFAULT_ANCHORS[nl][0]) // 2 == anchors:
             anchors = _DEFAULT_ANCHORS[nl]
@@ -366,6 +385,8 @@ def parse_model(cfg: dict, ch: int = 3, dtype=jnp.float32):
     (yolo.py:1453-1664) for the supported module families.
     """
     anchors, nc = cfg["anchors"], cfg["nc"]
+    if isinstance(anchors, str):
+        anchors = _anchor_preset(anchors)
     gd = cfg.get("depth_multiple", 1.0)
     gw = cfg.get("width_multiple", 1.0)
     na = (len(anchors[0]) // 2) if isinstance(anchors, list) else int(anchors)

@@ -119,11 +119,12 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-s
 if __name__ == "__main__":
     ips = bench()
     print(
-        "# headline = unmodified flagship (physics ceiling ~807 bf16). The "
-        "TPU-shaped serving students reach 914 (somi-t), 1,817 (somi-t-p3s) "
-        "and 2,226 img/s/chip (somi-t-p3s8, int8 b128 — 111% of the 2,000 "
-        "north star) on this protocol — PERF.md serving-family tables; "
-        "bench.bench(cfg='yolo-somi-t-p3s8', batches=(128,)) reproduces."
+        "# MEASURED BY THIS RUN: the unmodified flagship only (JSON line below; "
+        "physics ceiling ~807 bf16, PERF.md speed-of-light table). NOT measured "
+        "here: the TPU-shaped serving students — PERF.md's serving-family tables "
+        'QUOTE "914 (somi-t) / 1,817 (somi-t-p3s) / 2,226 img/s/chip '
+        "(somi-t-p3s8, int8 b128)\" with their accuracy columns; reproduce with "
+        "bench.bench(cfg='yolo-somi-t-p3s8', batches=(128,))."
     )
     n_dev = max(jax.device_count(), 1)
     per_chip = ips / n_dev

@@ -31,16 +31,21 @@ COLORS = [(56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255), (49, 2
           (255, 56, 132), (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255)]
 
 
-def draw_box(im, box, label: str, color):
+def draw_box(im, box, label: str, color, lw: int = 2):
+    """Annotate one box. `lw` is --line-thickness; the label font scales
+    with it like the reference's plot_one_box (utils/plots.py Annotator:
+    text thickness max(lw-1,1), fontScale lw/4 — lw=2 reproduces the old
+    hardcoded 0.5/1 look exactly)."""
     p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
-    cv2.rectangle(im, p1, p2, color, 2, lineType=cv2.LINE_AA)
+    cv2.rectangle(im, p1, p2, color, lw, lineType=cv2.LINE_AA)
     if label:
-        tf = 1
-        w, h = cv2.getTextSize(label, 0, fontScale=0.5, thickness=tf)[0]
+        tf = max(lw - 1, 1)
+        fs = lw / 4.0
+        w, h = cv2.getTextSize(label, 0, fontScale=fs, thickness=tf)[0]
         outside = p1[1] - h - 3 >= 0
         p2 = p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3
         cv2.rectangle(im, p1, p2, color, -1, cv2.LINE_AA)
-        cv2.putText(im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2), 0, 0.5,
+        cv2.putText(im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2), 0, fs,
                     (255, 255, 255), tf, cv2.LINE_AA)
 
 
@@ -165,7 +170,7 @@ def run(
                 label = None if hide_labels else (
                     names[c] if hide_conf else f"{names[c]} {conf:.2f}"
                 ) if c < len(names) else str(c)
-                draw_box(im0, xyxy, label, COLORS[c % len(COLORS)])
+                draw_box(im0, xyxy, label, COLORS[c % len(COLORS)], lw=line_thickness)
             if save_crop:
                 crop_dir = save_dir / "crops" / (names[c] if c < len(names) else str(c))
                 crop_dir.mkdir(parents=True, exist_ok=True)

@@ -32,10 +32,18 @@ from yolosomi_tpu.utils.general import LOGGER, check_img_size, increment_path
 from yolosomi_tpu.utils.metrics import ConfusionMatrix, ap_per_class, fitness, process_batch
 
 
-def _greedy_nms_host(rows: np.ndarray, iou_thres: float, max_wh: float = 4096.0) -> np.ndarray:
+def _greedy_nms_host(rows: np.ndarray, iou_thres: float, max_wh: float | None = None) -> np.ndarray:
     """Greedy class-offset NMS on host over (n, 6) [xyxy, conf, cls] rows,
     the same rule as the device path (reference: general.py:680-694). Used
-    only by --save-hybrid, where ground-truth rows must join the pool."""
+    only by --save-hybrid, where ground-truth rows must join the pool.
+
+    The class offset must exceed every coordinate in the pool: this runs
+    AFTER scale_coords (original-image space), unlike the reference's
+    in-NMS injection (network-input space, fixed 4096), so for images
+    near/above 4096 px a fixed offset would let class regions overlap and
+    wrongly suppress cross-class boxes — size it from the data instead."""
+    if max_wh is None:
+        max_wh = max(4096.0, float(rows[:, :4].max()) + 1.0 if len(rows) else 0.0)
     order = np.argsort(-rows[:, 4], kind="stable")
     boxes = rows[order, :4] + rows[order, 5:6] * max_wh
     keep = []
@@ -196,7 +204,7 @@ def run(
                 )
                 det = _greedy_nms_host(
                     np.concatenate([lab_rows, det], 0).astype(np.float32), iou_thres
-                )
+                )[:max_det]  # reference NMS truncates to max_det AFTER label injection
             correct = process_batch(det, tbox, iouv, alpha_iou=alpha_iou)
             stats.append((correct, det[:, 4], det[:, 5], tbox[:, 0]))
             if confusion is not None:

@@ -294,3 +294,101 @@ def test_pipeline_parallel_2stage_matches_sequential():
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5)
+
+
+def _pp_setup(n_stages, microbatch, batch=4, imgsz=64, seed=3):
+    import optax
+
+    from yolosomi_tpu.losses import ComputeLoss, pad_targets
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.parallel.pipeline import PipelineTrainer
+    from yolosomi_tpu.utils.config import DEFAULT_HYP, find_config, load_model_cfg
+
+    cfg = load_model_cfg(find_config("yolov5n"))
+    model, meta = build_model(cfg, nc=4)
+    variables = init_model(model, meta, imgsz=imgsz)
+    loss_fn = ComputeLoss(meta, dict(DEFAULT_HYP))
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal((batch, imgsz, imgsz, 3)).astype(np.float32)
+    labels = [
+        np.array([[i % 4, 0.5, 0.5, 0.3, 0.25], [(i + 1) % 4, 0.3, 0.6, 0.2, 0.2]], np.float32)
+        for i in range(batch)
+    ]
+    targets = pad_targets(labels, 8)
+    trainer = PipelineTrainer(
+        model, variables, loss_fn, n_stages,
+        devices=jax.devices()[:n_stages],
+        optimizer=optax.sgd(1e-3), microbatch=microbatch,
+    )
+    return model, variables, loss_fn, images, targets, trainer
+
+
+def test_pipeline_trainer_stage_partition_and_balance():
+    """Stage-partitioned weights: per-device live-param bytes must drop to
+    ~total/S (the HBM-scaling receipt the 2-stage inference demo lacked)."""
+    from yolosomi_tpu.parallel.pipeline import balance_stages, split_variables
+
+    model, variables, _, _, _, trainer = _pp_setup(n_stages=4, microbatch=2)
+    per_dev = trainer.per_device_param_bytes()
+    total = sum(per_dev)
+    assert len(per_dev) == 4
+    # balanced: no stage holds more than ~60% above the ideal quarter
+    # (CNN heads are lumpy; the bound still proves real partitioning)
+    assert max(per_dev) < 0.6 * total, per_dev
+    # the shards reassemble to exactly the original pytree
+    merged = trainer.merged_variables()
+    want_leaves = jax.tree_util.tree_leaves(variables)
+    got_leaves = jax.tree_util.tree_leaves(merged)
+    assert len(want_leaves) == len(got_leaves)
+    for a, b in zip(want_leaves, got_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # boundaries cover the layer list contiguously
+    b = balance_stages(model, variables, 4)
+    assert b[0] == 0 and b[-1] == len(model.layers) and list(b) == sorted(set(b))
+    for s in range(4):
+        assert split_variables(variables, b[s], b[s + 1])
+
+
+def test_pipeline_trainer_matches_single_device_step():
+    """GPipe train step parity: at microbatch == batch the pipeline's
+    loss AND accumulated per-stage grads equal the single-device
+    value_and_grad over the full graph (BN included) — proving the
+    payload routing, the remat backward, and the cotangent hops."""
+    from yolosomi_tpu.parallel.pipeline import PipelineTrainer
+
+    model, variables, loss_fn, images, targets, _ = _pp_setup(n_stages=3, microbatch=4)
+    trainer = PipelineTrainer(
+        model, variables, loss_fn, 3, devices=jax.devices()[:3],
+        optimizer=None, microbatch=4,
+    )
+    loss_pp = trainer.step(jnp.asarray(images), jnp.asarray(targets))
+
+    def ref_loss(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            jnp.asarray(images), train=True, mutable=["batch_stats"],
+        )
+        return loss_fn(preds, jnp.asarray(targets))[0]
+
+    want, ref_grads = jax.value_and_grad(ref_loss)(variables["params"])
+    np.testing.assert_allclose(loss_pp, float(want), rtol=1e-5)
+    # stitch the per-stage grads back together and compare leaf-for-leaf
+    merged = {}
+    for g in trainer._grads:
+        merged.update(g)
+    for k, sub in ref_grads.items():
+        got = jax.device_get(merged[k])
+        for a, b in zip(jax.tree_util.tree_leaves(sub), jax.tree_util.tree_leaves(got)):
+            # same tolerance class as the tp grad-parity test above: the
+            # remat backward reassociates f32 sums across stage boundaries
+            np.testing.assert_allclose(b, np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+def test_pipeline_trainer_microbatched_training_descends():
+    """M=2 microbatches on 3 stages: losses stay finite and descend over
+    a few optimizer steps (per-microbatch BN = the reference's DDP-default
+    per-rank BN; exact parity is the M=1 test above)."""
+    _, _, _, images, targets, trainer = _pp_setup(n_stages=3, microbatch=2)
+    losses = [trainer.step(jnp.asarray(images), jnp.asarray(targets)) for _ in range(6)]
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses

@@ -1,30 +1,46 @@
-"""Pipeline parallelism: 2-stage GPipe-style microbatch inference over a
-'stage' mesh axis.
+"""Pipeline parallelism: stage-partitioned weights, N-stage GPipe training
+(PipelineTrainer) + a 2-stage shard_map inference schedule (pipeline_infer).
 
-The TPU-native form of pipeline parallelism (scaling-book recipe): each
-device along the 'stage' axis owns one contiguous slice of the layer
-list, activations hop stage->stage over ICI via `lax.ppermute`, and a
-microbatch loop keeps both stages busy — device s computes microbatch t
-while device s+1 computes microbatch t-1. The reference has no
-counterpart (its only distribution is DDP); this is the pp leg of the
-dp/sp/tp/pp set, built for graphs too deep/wide for one chip's HBM.
+The TPU-native forms of pipeline parallelism (scaling-book recipe). The
+reference has no counterpart (its only distribution is DDP); this is the
+pp leg of the dp/sp/tp/pp set, built for graphs too deep/wide for one
+chip's HBM.
 
-Mechanics (see pipeline_infer):
-- the layer list splits at `split`; the inter-stage payload is the
-  boundary activation plus exactly the skip-connection tensors
-  (`DetectionModel.save`) that stage 1 consumes — computed statically
-  from the graph's `froms`.
-- inside `shard_map` every device runs the same program; `lax.cond` on
-  `axis_index('stage')` dispatches each device to its stage only, so
-  per-tick compute is one stage per device (the conditional is dynamic —
-  TPU executes the taken branch, not both).
-- the classic GPipe schedule: at tick t, stage 0 computes microbatch t
-  and ppermutes the payload; stage 1 consumes the payload carried from
-  tick t-1. M microbatches take M+1 ticks; steady-state both stages are
-  busy.
-- weights are replicated in this implementation (each stage reads only
-  its slice; stage-partitioned weight placement is the follow-up that
-  matters when params alone exceed one chip's HBM).
+Two implementations, matched to their jobs:
+
+1. **PipelineTrainer — N-stage GPipe TRAINING with stage-local weights.**
+   The layer list is split into N contiguous stages balanced by parameter
+   bytes (`balance_stages`); each stage's parameter shard is placed ONLY
+   on its stage's device (`split_variables` + device_put), so per-device
+   live-param bytes drop ~K/stages — the HBM-scaling rationale for PP.
+   The schedule is classic GPipe: all microbatch forwards (stages overlap
+   through JAX async dispatch — stage s runs microbatch t while stage s+1
+   runs t-1, each on its own device executor), then all backwards in
+   reverse with full activation REMATERIALIZATION (only stage INPUTS are
+   stored; `jax.vjp` recomputes the stage forward inside the backward —
+   the memory-optimal GPipe variant). Gradients accumulate on each
+   stage's own device; the optimizer updates each shard in place.
+   Loss semantics: the loss is batch-size-scaled (losses.py:208), so the
+   sum of microbatch losses/grads equals the full-batch loss/grads — the
+   same equivalence the reference's DDP `loss *= WORLD_SIZE` trick
+   encodes (train.py:266-267). BatchNorm uses per-microbatch statistics,
+   which is exactly the reference's DDP-default (non --sync-bn) per-rank
+   BN semantics; at microbatch == batch the step is bit-equivalent to the
+   single-device step (asserted in tests/test_sharding.py and the
+   dryrun_multichip pp-train phase).
+
+2. **pipeline_infer — 2-stage shard_map INFERENCE over a 'stage' mesh
+   axis.** Every device runs one SPMD program; activations hop
+   stage->stage over ICI via `lax.ppermute`, `lax.cond` on
+   `axis_index('stage')` dispatches each device to its own stage, and a
+   microbatch loop keeps both stages busy (M microbatches, M+1 ticks).
+   Weights replicated (inference reads them once; partitioning buys
+   nothing at these sizes).
+
+Shared mechanics: the inter-stage payload is the boundary activation plus
+exactly the skip-connection tensors (`DetectionModel.save`) that later
+stages consume — computed statically from the graph's `froms`
+(`stage_payload_keys`).
 
 Parity is exact by construction — the same layer programs run in the
 same order — and asserted in tests/test_sharding.py.
@@ -32,7 +48,9 @@ same order — and asserted in tests/test_sharding.py.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -129,3 +147,255 @@ def pipeline_infer(model, variables, mesh: Mesh, split: int, imgsz: int, microba
         return [o.reshape(o.shape[0] * o.shape[1], *o.shape[2:]) for o in out]
 
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# N-stage GPipe training with stage-partitioned weights
+# ---------------------------------------------------------------------------
+
+
+def _layer_index(key: str) -> int:
+    return int(key.rsplit("_", 1)[1])
+
+
+def _tree_bytes(tree) -> int:
+    return sum(np.prod(l.shape) * l.dtype.itemsize for l in jax.tree_util.tree_leaves(tree))
+
+
+def balance_stages(model, variables, n_stages: int) -> Tuple[int, ...]:
+    """Contiguous layer->stage partition balanced by parameter bytes.
+    Returns boundaries (b_0=0, b_1, ..., b_S=n_layers): stage s owns
+    layers [b_s, b_{s+1}). Greedy cut at cumulative-bytes quantiles —
+    optimal enough for CNN graphs where the head dominates."""
+    n = len(model.layers)
+    assert 1 <= n_stages <= n
+    per_layer = np.zeros(n)
+    for coll in variables.values():
+        for k, sub in coll.items():
+            if k.startswith("layers_"):
+                per_layer[_layer_index(k)] += _tree_bytes(sub)
+    cum = np.cumsum(per_layer)
+    total = cum[-1]
+    bounds = [0]
+    for s in range(1, n_stages):
+        # first layer index where cumulative bytes reach s/S of the total,
+        # but always leave at least one layer per remaining stage
+        cut = int(np.searchsorted(cum, total * s / n_stages)) + 1
+        cut = max(cut, bounds[-1] + 1)
+        cut = min(cut, n - (n_stages - s))
+        bounds.append(cut)
+    bounds.append(n)
+    return tuple(bounds)
+
+
+def split_variables(variables, lo: int, hi: int):
+    """The sub-pytree of `variables` holding ONLY layers [lo, hi) — the
+    shard one pipeline stage owns. flax resolves submodule params by
+    name ('layers_i'), so applying run_range over [lo, hi) with this
+    subset is exact."""
+    out = {}
+    for coll, tree in variables.items():
+        sub = {
+            k: v
+            for k, v in tree.items()
+            if k.startswith("layers_") and lo <= _layer_index(k) < hi
+        }
+        if sub:
+            out[coll] = sub
+    return out
+
+
+class PipelineTrainer:
+    """N-stage GPipe training with stage-local weights (module docstring
+    item 1). Construct once, then call `.step(images, targets)` per batch.
+
+    Each stage s holds: its parameter/batch_stats shard (device-committed
+    to `devices[s]`), its optimizer state, and two jitted programs —
+    `fwd` (stage forward, returns the boundary payload) and `bwd`
+    (recompute + vjp, returns grads and input cotangents). The Python
+    driver runs the GPipe schedule; JAX async dispatch overlaps stages
+    across devices without any collective: transfers are explicit
+    device_put hops, the MPMD formulation that heterogeneous stages need
+    (an SPMD shard_map would require structurally identical per-stage
+    param pytrees, which a YAML graph does not have).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        loss_fn,
+        n_stages: int,
+        devices: Optional[Sequence] = None,
+        optimizer=None,
+        microbatch: Optional[int] = None,
+    ):
+        if devices is None:
+            devices = jax.devices()[:n_stages]
+        assert len(devices) >= n_stages, f"need {n_stages} devices, got {len(devices)}"
+        self.model = model
+        self.loss_fn = loss_fn
+        self.n_stages = n_stages
+        self.devices = list(devices[:n_stages])
+        self.microbatch = microbatch
+        self.bounds = balance_stages(model, variables, n_stages)
+        n = len(model.layers)
+        # payload key sets at each boundary; stage s consumes keys_at[s],
+        # emits keys_at[s+1] (keys_at[0] and keys_at[S] are empty)
+        self.keys_at = [stage_payload_keys(model, b) if 0 < b < n else () for b in self.bounds]
+        # stage-local shards, committed to their stage's device
+        self.stage_vars = []
+        for s in range(n_stages):
+            shard = split_variables(variables, self.bounds[s], self.bounds[s + 1])
+            self.stage_vars.append(jax.device_put(shard, self.devices[s]))
+        self.optimizer = optimizer
+        self.opt_state = [
+            jax.device_put(optimizer.init(v.get("params", {})), self.devices[s])
+            if optimizer is not None
+            else None
+            for s, v in enumerate(self.stage_vars)
+        ]
+        self._fwd = [self._make_fwd(s) for s in range(n_stages)]
+        self._bwd = [self._make_bwd(s) for s in range(n_stages)]
+        self._update = self._make_update() if optimizer is not None else None
+
+    # --- per-stage compiled programs ------------------------------------
+
+    def _apply_range(self, variables, x, saved_in, lo, hi):
+        run = type(self.model).run_range
+        return self.model.apply(
+            variables, x, saved_in, lo, hi, True, method=run, mutable=["batch_stats"]
+        )
+
+    def _make_fwd(self, s):
+        lo, hi = self.bounds[s], self.bounds[s + 1]
+        k_out = self.keys_at[s + 1]
+        last = s == self.n_stages - 1
+
+        def fwd(stage_vars, x, saved_in, targets):
+            (out, saved), mutated = self._apply_range(stage_vars, x, saved_in, lo, hi)
+            new_bs = mutated.get("batch_stats", {})
+            if last:
+                loss, comps = self.loss_fn(out, targets)
+                return loss, comps, new_bs
+            payload = {k: saved[k] for k in k_out}
+            return out, payload, new_bs
+
+        return jax.jit(fwd)
+
+    def _make_bwd(self, s):
+        lo, hi = self.bounds[s], self.bounds[s + 1]
+        k_out = self.keys_at[s + 1]
+        last = s == self.n_stages - 1
+
+        def bwd(stage_vars, x, saved_in, targets, ct):
+            params = stage_vars.get("params", {})
+            rest = {k: v for k, v in stage_vars.items() if k != "params"}
+
+            def f(p, x_, sin):
+                (out, saved), _ = self._apply_range({"params": p, **rest}, x_, sin, lo, hi)
+                if last:
+                    loss, _ = self.loss_fn(out, targets)
+                    return loss
+                return out, {k: saved[k] for k in k_out}
+
+            if last:
+                # recompute forward + full vjp in one pass
+                gp, gx, gsin = jax.grad(f, argnums=(0, 1, 2))(params, x, saved_in)
+            else:
+                _, vjp = jax.vjp(f, params, x, saved_in)
+                gp, gx, gsin = vjp(ct)
+            return gp, gx, gsin
+
+        return jax.jit(bwd)
+
+    def _make_update(self):
+        opt = self.optimizer
+
+        def update(params, opt_state, grads):
+            updates, new_opt = opt.update(grads, opt_state, params)
+            return jax.tree_util.tree_map(lambda p, u: p + u, params, updates), new_opt
+
+        return jax.jit(update)
+
+    # --- accounting ------------------------------------------------------
+
+    def per_device_param_bytes(self) -> List[int]:
+        """Live parameter bytes per stage device — the HBM-scaling receipt
+        (max should be ~total/n_stages for a balanced split)."""
+        return [_tree_bytes(v) for v in self.stage_vars]
+
+    def merged_variables(self):
+        """Reassemble the full variables pytree from the stage shards
+        (host-side; for checkpointing and parity checks)."""
+        out: Dict[str, dict] = {}
+        for shard in self.stage_vars:
+            for coll, tree in shard.items():
+                out.setdefault(coll, {}).update(jax.device_get(tree))
+        return out
+
+    # --- the GPipe step ---------------------------------------------------
+
+    def step(self, images, targets):
+        """One training step over the full batch: GPipe microbatch
+        forwards (pipelined across stage devices), backwards with
+        rematerialization, gradient accumulation, optimizer update.
+        Returns the summed (batch-size-scaled) loss as float."""
+        B = images.shape[0]
+        mb = self.microbatch or B
+        assert B % mb == 0, f"batch {B} not divisible by microbatch {mb}"
+        M = B // mb
+        S = self.n_stages
+        dev = self.devices
+
+        # ---- forward phase: stage inputs are stored for the remat bwd
+        inputs = [[None] * S for _ in range(M)]  # (x, saved_in) per (t, s)
+        losses = []
+        tgt_dev = [None] * S
+        for t in range(M):
+            x = jax.device_put(images[t * mb : (t + 1) * mb], dev[0])
+            sin: Dict[int, jax.Array] = {}
+            tgt = targets[t * mb : (t + 1) * mb]
+            for s in range(S):
+                tgt_s = jax.device_put(tgt, dev[s])
+                inputs[t][s] = (x, sin, tgt_s)
+                out, payload, new_bs = self._fwd[s](self.stage_vars[s], x, sin, tgt_s)
+                if new_bs:
+                    # per-microbatch BN update (DDP-default per-rank semantics)
+                    self.stage_vars[s] = {**self.stage_vars[s], "batch_stats": new_bs}
+                if s == S - 1:
+                    losses.append(out)  # loss scalar; payload = components
+                else:
+                    x = jax.device_put(out, dev[s + 1])
+                    sin = jax.device_put(payload, dev[s + 1])
+
+        # ---- backward phase (reverse microbatch, reverse stage), grads
+        # accumulate on each stage's own device
+        grads = [None] * S
+        for t in reversed(range(M)):
+            ct = None  # loss stage seeds its own cotangent
+            for s in reversed(range(S)):
+                x, sin, tgt_s = inputs[t][s]
+                gp, gx, gsin = self._bwd[s](self.stage_vars[s], x, sin, tgt_s, ct)
+                grads[s] = (
+                    gp
+                    if grads[s] is None
+                    else jax.tree_util.tree_map(jnp.add, grads[s], gp)
+                )
+                if s > 0:
+                    # cotangents hop back: d/d(boundary activation) and
+                    # d/d(payload) feed the previous stage's vjp output ct
+                    ct = jax.device_put((gx, gsin), dev[s - 1])
+
+        # ---- optimizer update, per stage shard in place
+        if self._update is not None:
+            for s in range(S):
+                new_p, new_o = self._update(
+                    self.stage_vars[s].get("params", {}), self.opt_state[s], grads[s]
+                )
+                self.stage_vars[s] = {**self.stage_vars[s], "params": new_p}
+                self.opt_state[s] = new_o
+            self._grads = None
+        else:
+            self._grads = grads  # exposed for parity tests
+        return float(sum(jax.device_get(l) for l in losses))

@@ -341,3 +341,70 @@ def test_freeze_zeroes_early_layer_grads():
                         jax.tree_util.tree_leaves(after["layers_3"]))
     )
     assert moved, "unfrozen layer did not update"
+
+
+def test_remat_segments_match_plain_step():
+    """--remat N (segmented jax.checkpoint forward, trainer._remat_forward)
+    must be numerically invisible: same loss, same gradients, same BN
+    updates as the plain step — only the backward's memory profile
+    changes. Uses a skip-connection graph so saved tensors cross segment
+    boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolosomi_tpu.engine.optim import make_optimizer
+    from yolosomi_tpu.engine.trainer import create_train_state, make_train_step
+    from yolosomi_tpu.losses import ComputeLoss
+    from yolosomi_tpu.models.yolo import build_model, init_model
+    from yolosomi_tpu.utils.config import load_hyp
+
+    hyp = load_hyp(None)
+    cfg = {
+        "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0, "anchors": 3,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "C3", [16]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+            [[-1, 3], 1, "Concat", [1]],   # skip crosses segment boundaries
+            [-1, 1, "Conv", [32, 3, 1]],
+            [[4, 7], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    model, meta = build_model(cfg, nc=2)
+    variables = init_model(model, meta, imgsz=64)
+    loss_fn = ComputeLoss(meta, hyp)
+    opt = make_optimizer(hyp, nb=10, epochs=10, batch_size=2)
+
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    t = np.zeros((2, 8, 5), np.float32)
+    t[:, :, 0] = -1
+    t[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    t = jnp.asarray(t)
+
+    out = {}
+    for tag, n_seg in (("plain", 0), ("remat", 3)):
+        state = create_train_state(dict(variables), opt)
+        step = make_train_step(model, loss_fn, opt, remat_segments=n_seg)
+        new_state, metrics = step(state, images, t)
+        out[tag] = (new_state, float(metrics["loss"]))
+
+    np.testing.assert_allclose(out["remat"][1], out["plain"][1], rtol=1e-6)
+    # f32 reassociation across checkpoint boundaries drifts grads ~1e-5;
+    # the optimizer's adaptive scaling can amplify that into the updated
+    # params, so the bound is on "same training trajectory", not bit-equality
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(out["plain"][0].params)),
+        jax.tree_util.tree_leaves(jax.device_get(out["remat"][0].params)),
+    ):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(out["plain"][0].batch_stats)),
+        jax.tree_util.tree_leaves(jax.device_get(out["remat"][0].batch_stats)),
+    ):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,221 @@
+#!/usr/bin/env bash
+# reproduce_baseline.sh — the one-command parity bundle for the five
+# BASELINE.md configs (BASELINE.md:21-29).
+#
+# On a dataset-equipped host (network egress + reference deps installed)
+# this turns the repo's parity proxies (full-graph converter oracles,
+# .pt-pickle migration oracle, protocol-exact val) into the actual
+# "VisDrone mAP within 0.1" number: it fetches weights + datasets,
+# converts the .pt with tools/convert_torch.py, runs the REFERENCE's
+# val.py and OUR val.py on the same data, and prints the side-by-side
+# table with the 0.1 gate.
+#
+# On THIS image (zero egress, no torchvision/GPU) run with --synthetic:
+# every stage executes end-to-end against generated stand-ins — weights
+# are random-initialized and converted through the same .pt route, both
+# CLIs run, the table prints — proving the bundle's mechanics so the
+# only thing a real host adds is the data.
+#
+# Usage:
+#   bash tools/reproduce_baseline.sh --synthetic          # dry-run here
+#   bash tools/reproduce_baseline.sh \
+#     --reference /path/to/YOLO-SOMI \
+#     --weights-url https://.../yolov5s.pt \
+#     --weights-l-url https://.../yolov5l.pt \
+#     --somi-weights /path/to/yolo-somi-best.pt \
+#     --visdrone /data/VisDrone --uavdt /data/UAVDT --coco128 /data/coco128
+#
+# Gate: for each config with a reference run, |our mAP@.5 - ref mAP@.5|
+# must be <= 0.1 (BASELINE.json north-star criterion).
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SYNTHETIC=0
+REF_DIR="${REF_DIR:-/root/reference}"
+WEIGHTS_URL="" ; WEIGHTS_L_URL="" ; SOMI_WEIGHTS=""
+VISDRONE="" ; UAVDT="" ; COCO128=""
+WORK="${WORK:-runs/reproduce_baseline}"
+
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --synthetic) SYNTHETIC=1 ;;
+    --reference) REF_DIR="$2"; shift ;;
+    --weights-url) WEIGHTS_URL="$2"; shift ;;
+    --weights-l-url) WEIGHTS_L_URL="$2"; shift ;;
+    --somi-weights) SOMI_WEIGHTS="$2"; shift ;;
+    --visdrone) VISDRONE="$2"; shift ;;
+    --uavdt) UAVDT="$2"; shift ;;
+    --coco128) COCO128="$2"; shift ;;
+    *) echo "unknown arg $1"; exit 2 ;;
+  esac
+  shift
+done
+
+mkdir -p "$WORK"
+PY=python
+RESULTS="$WORK/results.tsv"
+: > "$RESULTS"
+
+note() { printf '\n=== %s ===\n' "$*"; }
+
+# ---------------------------------------------------------------------------
+# stage 0: materialize inputs
+# ---------------------------------------------------------------------------
+if [[ $SYNTHETIC -eq 1 ]]; then
+  note "synthetic mode: generating stand-in datasets + weights"
+  [[ -d "$WORK/shapes/val" ]] || $PY tools/make_shapes_dataset.py --out "$WORK/shapes" --n 8 --val-n 8
+  COCO128="$WORK/shapes"; VISDRONE="$WORK/shapes"; UAVDT="$WORK/shapes"
+  DATA_YAML="$WORK/shapes/shapes.yaml"
+  # random reference-format .pt checkpoints through the real pickle route
+  # (the same oracle path tests/test_tools.py::test_pt_migration exercises)
+  for M in yolov5s yolov5l; do
+    if [[ ! -f "$WORK/$M.pt" ]]; then
+      $PY tools/make_reference_pt.py --cfg "$M" --nc 3 --out "$WORK/$M.pt"
+    fi
+  done
+  WEIGHTS_S="$WORK/yolov5s.pt"; WEIGHTS_L="$WORK/yolov5l.pt"; SOMI_WEIGHTS=""
+else
+  note "fetching weights/datasets (parameterized URLs)"
+  WEIGHTS_S="$WORK/yolov5s.pt"; WEIGHTS_L="$WORK/yolov5l.pt"
+  [[ -f "$WEIGHTS_S" || -z "$WEIGHTS_URL" ]]  || curl -L "$WEIGHTS_URL"  -o "$WEIGHTS_S"
+  [[ -f "$WEIGHTS_L" || -z "$WEIGHTS_L_URL" ]] || curl -L "$WEIGHTS_L_URL" -o "$WEIGHTS_L"
+  for d in "$VISDRONE" "$UAVDT" "$COCO128"; do
+    [[ -z "$d" || -d "$d" ]] || { echo "dataset dir missing: $d"; exit 1; }
+  done
+  DATA_YAML=""
+fi
+
+# dataset yaml resolver: real runs use the bundled configs; synthetic uses
+# the generated shapes.yaml for every config
+data_for() { # $1 = visdrone|uavdt|coco128
+  if [[ $SYNTHETIC -eq 1 ]]; then echo "$DATA_YAML"; else echo "configs/data/$1.yaml"; fi
+}
+
+# ---------------------------------------------------------------------------
+# stage 1: convert .pt -> .msgpack through tools/convert_torch.py
+# ---------------------------------------------------------------------------
+note "converting checkpoints"
+NC_FLAG=$([[ $SYNTHETIC -eq 1 ]] && echo "--nc 3" || echo "")
+$PY tools/convert_torch.py --pt "$WEIGHTS_S" --cfg yolov5s $NC_FLAG --out "$WORK/yolov5s.msgpack"
+$PY tools/convert_torch.py --pt "$WEIGHTS_L" --cfg yolov5l $NC_FLAG --out "$WORK/yolov5l.msgpack"
+if [[ -n "$SOMI_WEIGHTS" ]]; then
+  $PY tools/convert_torch.py --pt "$SOMI_WEIGHTS" --cfg yolo-somi --out "$WORK/yolo-somi.msgpack"
+fi
+
+# ---------------------------------------------------------------------------
+# helpers: run our val.py / the reference's val.py, harvest mAP@.5
+# ---------------------------------------------------------------------------
+run_ours() { # $1 tag, rest: args
+  local tag="$1"; shift
+  note "OURS  [$tag] val.py $*"
+  $PY val.py "$@" --project "$WORK/ours" --name "$tag" --exist-ok \
+    | tee "$WORK/ours_$tag.log"
+  # val.py prints the reference-format table; `all` row col 5 = mAP@.5
+  awk '$1=="all" {print $5; exit}' "$WORK/ours_$tag.log" || echo "nan"
+}
+
+run_reference() { # $1 tag, rest: args for the reference val.py
+  local tag="$1"; shift
+  if [[ $SYNTHETIC -eq 1 ]]; then
+    echo "skip"; return
+  fi
+  note "REF   [$tag] $REF_DIR/val.py $*"
+  (cd "$REF_DIR" && $PY val.py "$@" --project "$WORK/ref" --name "$tag" --exist-ok) \
+    | tee "$WORK/ref_$tag.log"
+  awk '$1=="all" {print $5; exit}' "$WORK/ref_$tag.log" || echo "nan"
+}
+
+record() { # tag ours ref
+  printf '%s\t%s\t%s\n' "$1" "$2" "$3" >> "$RESULTS"
+}
+
+# ---------------------------------------------------------------------------
+# the five BASELINE.md configs
+# ---------------------------------------------------------------------------
+
+# config 1: yolov5s 640 inference on coco128 (detect.py smoke — boxes exist)
+note "config 1: yolov5s @640 detect on coco128"
+$PY detect.py --weights "$WORK/yolov5s.msgpack" --cfg yolov5s \
+  --source "$COCO128/val/images" --imgsz 640 --conf-thres 0.25 \
+  --save-txt --project "$WORK/ours" --name c1 --exist-ok
+N_DET=$(cat "$WORK"/ours/c1/labels/*.txt 2>/dev/null | wc -l || echo 0)
+record "c1_detect_boxes" "$N_DET" "n/a"
+
+# config 2: yolov5l @640 val mAP on VisDrone
+OURS2=$(run_ours c2 --weights "$WORK/yolov5l.msgpack" --cfg yolov5l \
+  --data "$(data_for visdrone)" --imgsz 640 --batch-size 8 | tail -1)
+REF2=$(run_reference c2 --weights "$WEIGHTS_L" --data VisDrone.yaml --img 640 | tail -1)
+record "c2_visdrone_map50" "$OURS2" "$REF2"
+
+# config 3: YOLO-SOMI @1280 small-object inference on VisDrone
+if [[ -n "$SOMI_WEIGHTS" ]]; then
+  OURS3=$(run_ours c3 --weights "$WORK/yolo-somi.msgpack" --cfg yolo-somi \
+    --data "$(data_for visdrone)" --imgsz 1280 --batch-size 4 | tail -1)
+  REF3=$(run_reference c3 --weights "$SOMI_WEIGHTS" --data VisDrone.yaml --img 1280 | tail -1)
+else
+  note "config 3: no --somi-weights; running config-only forward @1280 (synthetic)"
+  $PY detect.py --cfg yolo-somi --source "$VISDRONE/val/images" --imgsz 1280 \
+    --conf-thres 0.001 --project "$WORK/ours" --name c3 --exist-ok
+  OURS3="ran"; REF3="skip"
+fi
+record "c3_somi_1280" "$OURS3" "$REF3"
+
+# config 4: YOLO-SOMI training on VisDrone (mosaic + autoanchor + hyp.visdrone)
+note "config 4: YOLO-SOMI train (short run: 2 epochs synthetic / 50 real)"
+EPOCHS=$([[ $SYNTHETIC -eq 1 ]] && echo 2 || echo 50)
+IMGSZ4=$([[ $SYNTHETIC -eq 1 ]] && echo 128 || echo 640)
+BS4=$([[ $SYNTHETIC -eq 1 ]] && echo 2 || echo 16)
+WIDTH_ARGS=""
+CFG4=configs/models/yolo-somi.yaml
+if [[ $SYNTHETIC -eq 1 ]]; then
+  sed -e 's/^depth_multiple: 1.0/depth_multiple: 0.33/' \
+      -e 's/^width_multiple: 1.0/width_multiple: 0.25/' "$CFG4" > "$WORK/somi-tiny.yaml"
+  CFG4="$WORK/somi-tiny.yaml"
+fi
+$PY train.py --cfg "$CFG4" --data "$(data_for visdrone)" --hyp hyp.visdrone \
+  --epochs "$EPOCHS" --batch-size "$BS4" --imgsz "$IMGSZ4" \
+  --project "$WORK/ours" --name c4 --exist-ok --max-labels 64
+record "c4_train" "$(tail -2 "$WORK"/ours/c4/results.csv | head -1 | cut -d, -f8)" "n/a"
+
+# config 5: UAVDT full eval with TTA + WBF ensemble
+note "config 5: TTA val + WBF fuse"
+run_ours c5 --weights "$WORK/yolov5l.msgpack" --cfg yolov5l \
+  --data "$(data_for uavdt)" --imgsz 640 --batch-size 4 --augment --save-txt --save-conf \
+  > /dev/null
+OURS5=$(awk '$1=="all" {print $5; exit}' "$WORK/ours_c5.log")
+if compgen -G "$WORK/ours/c5/labels/*.txt" > /dev/null; then
+  $PY wbf.py --dirs "$WORK/ours/c5/labels" "$WORK/ours/c5/labels" --out "$WORK/ours/c5_wbf"
+fi
+REF5=$(run_reference c5 --weights "$WEIGHTS_L" --data UAVDT.yaml --img 640 --augment | tail -1)
+record "c5_uavdt_tta_map50" "$OURS5" "$REF5"
+
+# ---------------------------------------------------------------------------
+# the table + the 0.1 gate
+# ---------------------------------------------------------------------------
+note "side-by-side results ($RESULTS)"
+printf '%-24s %-12s %-12s %s\n' "config" "ours" "reference" "gate(|d|<=0.1)"
+GATE_FAIL=0
+while IFS=$'\t' read -r tag ours ref; do
+  gate="-"
+  if [[ "$ref" != "n/a" && "$ref" != "skip" && "$ours" != "ran" ]]; then
+    gate=$($PY - "$ours" "$ref" <<'EOF'
+import sys
+try:
+    d = abs(float(sys.argv[1]) - float(sys.argv[2]))
+    print("PASS" if d <= 0.1 else f"FAIL({d:.3f})")
+except Exception:
+    print("n/a")
+EOF
+)
+    [[ "$gate" == FAIL* ]] && GATE_FAIL=1
+  fi
+  printf '%-24s %-12s %-12s %s\n' "$tag" "$ours" "$ref" "$gate"
+done < "$RESULTS"
+
+if [[ $SYNTHETIC -eq 1 ]]; then
+  echo
+  echo "NOTE: synthetic mode — reference legs skipped (no egress / reference"
+  echo "deps on this image); every OUR-side stage executed end-to-end."
+fi
+exit $GATE_FAIL

@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Round-4 TPU work queue: serving-family accuracy axis (VERDICT item 1).
+# Waits for the flagship teacher run, then distills the four serving
+# students from it and evaluates every member bf16 + int8(+head-excl)
+# through val.py's exact protocol. One process at a time — the single
+# tunneled TPU chip cannot be shared.
+#
+# Usage: nohup bash tools/round4_queue.sh > /tmp/round4_queue.log 2>&1 &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+DATA=datasets/shapes1200/shapes.yaml
+TEACHER_RUN=runs/train/flagship1200
+TEACHER_PID_FILE=/tmp/train_teacher.pid
+
+echo "[queue] waiting for teacher (pid $(cat $TEACHER_PID_FILE 2>/dev/null))"
+while kill -0 "$(cat $TEACHER_PID_FILE 2>/dev/null)" 2>/dev/null; do sleep 30; done
+echo "[queue] teacher done at $(date)"
+
+TEACHER_CKPT=$TEACHER_RUN/weights/best.ckpt
+[[ -f $TEACHER_CKPT ]] || TEACHER_CKPT=$TEACHER_RUN/weights/last.ckpt
+[[ -f $TEACHER_CKPT ]] || { echo "[queue] no teacher checkpoint; abort"; exit 1; }
+
+# students: distill from the flagship (engine/distill.py level-mapped)
+for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do
+  echo "[queue] ===== distill $S ($(date)) ====="
+  timeout 5400 python train.py --cfg "$S" --data "$DATA" --hyp hyp.visdrone \
+    --imgsz 640 --batch-size 24 --epochs 100 --name "${S}1200" --cache ram \
+    --exist-ok --noautoanchor \
+    --teacher "$TEACHER_CKPT" --teacher-cfg yolo-somi --distill 1.0 \
+    || echo "[queue] $S distill FAILED"
+done
+
+# one from-scratch control on the fastest student (Pareto: distilled vs scratch)
+echo "[queue] ===== scratch yolo-somi-t-p3s8 ($(date)) ====="
+timeout 5400 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.visdrone \
+  --imgsz 640 --batch-size 24 --epochs 100 --name somi-t-p3s8-scratch --cache ram \
+  --exist-ok --noautoanchor || echo "[queue] scratch FAILED"
+
+# evaluate the whole family: bf16 and int8 + head exclusion
+eval_one() { # $1 = cfg, $2 = run name
+  local W=runs/train/$2/weights/best.msgpack
+  [[ -f $W ]] || W=runs/train/$2/weights/last.msgpack
+  [[ -f $W ]] || { echo "[eval] $2: no weights"; return; }
+  echo "[eval] ===== $2 bf16 ====="
+  timeout 2400 python val.py --weights "$W" --cfg "$1" --data "$DATA" --imgsz 640 \
+    --batch-size 24 --name "val-$2-bf16" --exist-ok 2>&1 | tail -8
+  echo "[eval] ===== $2 int8+head-excl ====="
+  timeout 2400 python val.py --weights "$W" --cfg "$1" --data "$DATA" --imgsz 640 \
+    --batch-size 24 --int8 --int8-exclude head --name "val-$2-int8" --exist-ok 2>&1 | tail -8
+}
+
+eval_one yolo-somi flagship1200
+eval_one yolo-somi-t yolo-somi-t1200
+eval_one yolo-somi-t-p3 yolo-somi-t-p31200
+eval_one yolo-somi-t-p3s yolo-somi-t-p3s1200
+eval_one yolo-somi-t-p3s8 yolo-somi-t-p3s81200
+eval_one yolo-somi-t-p3s8 somi-t-p3s8-scratch
+
+echo "[queue] all done at $(date)"

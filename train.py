@@ -66,9 +66,20 @@ def train(hyp: dict, opt) -> float:
     save_yaml(save_dir / "hyp.yaml", hyp)
     save_yaml(save_dir / "opt.yaml", vars(opt))
 
+    # W&B artifact plane (reference wandb_utils.py:108-516; no-op without
+    # the wandb package — unlike the reference, which force-disables it,
+    # train.py:80)
+    from yolosomi_tpu.utils.wandb_utils import WandbLogger, is_wandb_artifact
+
+    wb = WandbLogger(opt, name=save_dir.name, project=Path(opt.project).name)
+    if opt.weights and is_wandb_artifact(opt.weights):
+        opt.weights = wb.resume_checkpoint(opt.weights, download_dir=save_dir / "weights")
+
     data_dict = load_data_cfg(find_config(opt.data, "data"))
     nc = 1 if opt.single_cls else int(data_dict["nc"])
     names = data_dict.get("names", [str(i) for i in range(nc)])
+    if getattr(opt, "upload_dataset", False):
+        wb.log_dataset(data_dict)
 
     cfg = load_model_cfg(find_config(opt.cfg))
     dtype = jnp.bfloat16 if not opt.no_bf16 else jnp.float32
@@ -282,7 +293,8 @@ def train(hyp: dict, opt) -> float:
             s: make_train_step(model, loss_fn, optimizer, mesh=mesh, scale_to=s, accumulate=accumulate,
                                device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
                                freeze=getattr(opt, "freeze", 0),
-                               device_mosaic=imgsz if device_cache else None)
+                               device_mosaic=imgsz if device_cache else None,
+                               remat_segments=getattr(opt, "remat", 0))
             for s in sizes
         }
         LOGGER.info(f"multi-scale sizes: {sizes}")
@@ -291,7 +303,8 @@ def train(hyp: dict, opt) -> float:
             model, loss_fn, optimizer, mesh=mesh, accumulate=accumulate,
             device_preprocess=dict(hyp, seed=opt.seed) if opt.device_preprocess else None,
             freeze=getattr(opt, "freeze", 0),
-            device_mosaic=imgsz if device_cache else None)}
+            device_mosaic=imgsz if device_cache else None,
+            remat_segments=getattr(opt, "remat", 0))}
     import random as _random
 
     with mesh:
@@ -466,6 +479,15 @@ def train(hyp: dict, opt) -> float:
             )
         if fi > best_fitness:
             best_fitness = fi
+        wb.end_epoch(
+            {
+                "train/box_loss": float(mloss[0]), "train/obj_loss": float(mloss[1]),
+                "train/cls_loss": float(mloss[2]), "metrics/precision": float(results[0]),
+                "metrics/recall": float(results[1]), "metrics/mAP_0.5": float(results[2]),
+                "metrics/mAP_0.5:0.95": float(results[3]), "metrics/fitness": float(fi),
+            },
+            step=epoch,
+        )
         # async checkpointing: enqueue a reference to the (immutable)
         # device state; the writer thread pulls + serializes while the
         # TPU runs the next epoch. The synchronous version cost
@@ -511,6 +533,11 @@ def train(hyp: dict, opt) -> float:
     for f in (last, best):
         if f.exists():
             strip_checkpoint(f, f.with_suffix(".msgpack"))
+            wb.log_checkpoint(
+                f.with_suffix(".msgpack"), epoch=final_epoch,
+                fitness=float(best_fitness), best=f is best,
+            )
+    wb.finish()
     return best_fitness
 
 
@@ -569,6 +596,11 @@ def parse_opt(argv=None):
                              "device (HBM slab + on-device mosaic/perspective/mixup)")
     parser.add_argument("--workers", type=int, default=8,
                         help="loader worker threads (reference --workers)")
+    parser.add_argument("--remat", type=int, default=0, metavar="N",
+                        help="activation rematerialization: cut the graph into N jax.checkpoint "
+                             "segments (saves backward memory, costs ~1 extra forward)")
+    parser.add_argument("--upload-dataset", action="store_true",
+                        help="upload the dataset as a W&B artifact (reference: wandb --upload_dataset)")
     parser.add_argument("--sync-bn", action="store_true",
                         help="accepted for CLI parity; BN stats are ALWAYS global-batch under jit (SyncBN by construction)")
     return parser.parse_args(argv)

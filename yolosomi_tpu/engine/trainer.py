@@ -42,6 +42,41 @@ def create_train_state(variables, optimizer, accumulate: int = 1) -> TrainState:
     )
 
 
+def _remat_forward(model, params, batch_stats, images, n_segments: int):
+    """Segmented forward with per-segment `jax.checkpoint`: the graph's
+    layer list is cut into `n_segments` ranges; only the boundary
+    activations (+ crossing skip tensors) are saved for the backward,
+    everything inside a segment is recomputed — the standard TPU answer
+    to a memory-bound backward (trades ~1 extra forward of FLOPs for
+    O(n/segments) activation memory). Returns (head preds, merged
+    batch_stats updates)."""
+    n = len(model.layers)
+    cuts = sorted({int(round(n * k / n_segments)) for k in range(n_segments + 1)} | {0, n})
+    run = type(model).run_range
+
+    def make_seg(lo, hi):
+        def seg(p, bs, x, saved):
+            (out, sv), mut = model.apply(
+                {"params": p, "batch_stats": bs}, x, saved, lo, hi, True,
+                method=run, mutable=["batch_stats"],
+            )
+            return out, sv, mut.get("batch_stats", {})
+
+        return jax.checkpoint(seg)
+
+    x, saved = images, {}
+    bs_updates = {}
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        x, saved, mut_bs = make_seg(lo, hi)(params, batch_stats, x, saved)
+        # flax returns the FULL batch_stats collection (untouched layers at
+        # their input values) — keep only this segment's own layers, or the
+        # last segment would overwrite every earlier segment's BN updates
+        # with the originals it was handed
+        seg_keys = {f"layers_{i}" for i in range(lo, hi)}
+        bs_updates.update({k: v for k, v in mut_bs.items() if k in seg_keys})
+    return x, bs_updates
+
+
 def make_train_step(
     model,
     loss_fn: Callable,
@@ -53,6 +88,7 @@ def make_train_step(
     device_preprocess: Optional[dict] = None,
     freeze: int = 0,
     device_mosaic: Optional[int] = None,
+    remat_segments: int = 0,
 ):
     """Build the jitted train step.
 
@@ -101,12 +137,18 @@ def make_train_step(
             images = jax.image.resize(images, (b, scale_to, scale_to, c), method="bilinear")
 
         def loss_of(params):
-            preds, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            if remat_segments > 0:
+                preds, bs_updates = _remat_forward(
+                    model, params, state.batch_stats, images, remat_segments
+                )
+                mutated = {"batch_stats": {**state.batch_stats, **bs_updates}}
+            else:
+                preds, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             if getattr(loss_fn, "needs_images", False):
                 # distillation wrapper: the frozen teacher's forward runs
                 # here, inside the same compiled step (engine/distill.py);

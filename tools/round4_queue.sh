@@ -24,18 +24,18 @@ TEACHER_CKPT=$TEACHER_RUN/weights/best.ckpt
 # students: distill from the flagship (engine/distill.py level-mapped)
 for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do
   echo "[queue] ===== distill $S ($(date)) ====="
-  timeout 5400 python train.py --cfg "$S" --data "$DATA" --hyp hyp.visdrone \
-    --imgsz 640 --batch-size 24 --epochs 100 --name "${S}1200" --cache ram \
-    --exist-ok --noautoanchor \
+  timeout 3600 python train.py --cfg "$S" --data "$DATA" --hyp hyp.visdrone \
+    --imgsz 640 --batch-size 24 --epochs 100 --name "${S}1200" --cache device \
+    --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor \
     --teacher "$TEACHER_CKPT" --teacher-cfg yolo-somi --distill 1.0 \
     || echo "[queue] $S distill FAILED"
 done
 
 # one from-scratch control on the fastest student (Pareto: distilled vs scratch)
 echo "[queue] ===== scratch yolo-somi-t-p3s8 ($(date)) ====="
-timeout 5400 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.visdrone \
-  --imgsz 640 --batch-size 24 --epochs 100 --name somi-t-p3s8-scratch --cache ram \
-  --exist-ok --noautoanchor || echo "[queue] scratch FAILED"
+timeout 3600 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.visdrone \
+  --imgsz 640 --batch-size 24 --epochs 100 --name somi-t-p3s8-scratch --cache device \
+  --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor || echo "[queue] scratch FAILED"
 
 # evaluate the whole family: bf16 and int8 + head exclusion
 eval_one() { # $1 = cfg, $2 = run name

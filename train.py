@@ -455,7 +455,9 @@ def train(hyp: dict, opt) -> float:
         # per-epoch val with EMA weights (reference: train.py:291-303)
         t_val0 = time.time()
         results = (0, 0, 0, 0, 0, 0, 0)
-        if not opt.noval or epoch == opt.epochs - 1:
+        val_due = (epoch % max(getattr(opt, "val_period", 1), 1)) == 0
+        val_ran = (not opt.noval and val_due) or epoch == opt.epochs - 1
+        if val_ran:
             # EMA weights stay on device: a host round trip here moves the
             # full parameter tree through the tunnel twice per epoch.
             # Safe because the train step does not donate its state
@@ -517,7 +519,7 @@ def train(hyp: dict, opt) -> float:
                 ckpt_writer.save(paths, state, epoch=epoch, best_fitness=best_fitness,
                                  anchors=np.asarray(meta.anchors_px).reshape(meta.nl, -1).tolist())
         LOGGER.info(f"epoch {epoch} done in {time.time() - t_ep:.1f}s fitness {fi:.4f}")
-        if stopper(epoch, fi):
+        if val_ran and stopper(epoch, fi):
             LOGGER.info(f"early stopping at epoch {epoch} (patience {opt.patience})")
             # the early-stop epoch IS the final epoch: save even under
             # --nosave (reference semantics: --nosave keeps only the final)
@@ -559,6 +561,9 @@ def parse_opt(argv=None):
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=0, help="evolve hyps for N generations")
     parser.add_argument("--noval", action="store_true")
+    parser.add_argument("--val-period", type=int, default=1, metavar="N",
+                        help="validate every N epochs (always on the final epoch); "
+                             "best-fitness/early-stop update only on val epochs")
     parser.add_argument("--noautoanchor", action="store_true")
     parser.add_argument("--kmean", action="store_true", help="k-means++ autoanchor (reference --kmean)")
     parser.add_argument("--adam", action="store_true")

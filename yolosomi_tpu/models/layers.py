@@ -59,6 +59,16 @@ QUANT_MODE: list = [None]
 QUANT_EXCLUDE: list = [()]
 
 
+# W-parity fold serving mode (ops/foldconv.py; PERF.md round-3 lever 2,
+# "L2 half-lane C2fCBAM"): rewrite eligible half-lane 3x3 s1 convs as
+# full-lane convs in width-folded space — (B,H,W,C)->(B,H,W/2,2C) is a
+# free reshape in NHWC, the folded block-structured kernel is exactly
+# equivalent (probe parity 0.0), and the MXU stops idling on half its
+# lanes. Value = max channel count to fold (64 folds only true
+# half-lane convs); falsy = off. Trace-time flag like QUANT_MODE.
+FOLD_W_MODE: list = [0]
+
+
 def _quant_excluded(path: Tuple[str, ...]) -> bool:
     pats = QUANT_EXCLUDE[0]
     if not pats:
@@ -126,7 +136,38 @@ class ConvRaw(nn.Module):
             and not _quant_excluded(self.scope.path)
         ):
             return self._int8_forward(x, conv)
+        if self._fold_ok(x) and not self.is_initializing():
+            return self._folded_forward(x)
         return conv(x)
+
+    def _fold_ok(self, x) -> bool:
+        """Static eligibility for the W-parity folded path: 3x3 s1 d1 g1
+        SAME conv whose channels fit under the FOLD_W_MODE threshold and
+        whose width is even (all trace-time constants)."""
+        max_c = FOLD_W_MODE[0]
+        return bool(
+            max_c
+            and _pair(self.k) == (3, 3)
+            and _pair(self.s) == (1, 1)
+            and self.d == 1
+            and self.g == 1
+            and x.shape[-1] <= max_c
+            and self.c2 <= max_c
+            and x.shape[2] % 2 == 0
+        )
+
+    def _folded_forward(self, x):
+        """Full-lane rewrite of a half-lane conv (ops/foldconv.py)."""
+        from yolosomi_tpu.ops.foldconv import (
+            conv_folded, fold_bn_channel_params, fold_kernel, fold_w, unfold_w,
+        )
+
+        p = self.get_variable("params", "conv")
+        w = fold_kernel(p["kernel"].astype(self.dtype))
+        y = conv_folded(fold_w(x.astype(self.dtype)), w)
+        if self.use_bias:
+            y = y + fold_bn_channel_params(p["bias"].astype(self.dtype))
+        return unfold_w(y)
 
     def _int8_forward(self, x, conv):
         """Symmetric int8 conv: per-tensor activation scale (calibrated),
@@ -141,17 +182,32 @@ class ConvRaw(nn.Module):
         x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127).astype(jnp.int8)
         k = _pair(self.k)
         ph, pw = _pair(autopad(self.k, self.p, self.d))
-        y = jax.lax.conv_general_dilated(
-            x_q,
-            w_q,
-            window_strides=_pair(self.s),
-            padding=((ph, ph), (pw, pw)),
-            rhs_dilation=(self.d, self.d),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.g,
-            preferred_element_type=jnp.int32,
-        )
-        y = y.astype(jnp.float32) * (s_a * w_scale)
+        if self._fold_ok(x):
+            # int8 x W-parity fold compose: fold the already-quantized
+            # kernel (its zeros stay zero), duplicate the per-out-channel
+            # scales into folded layout, conv full-lane, unfold.
+            from yolosomi_tpu.ops.foldconv import (
+                fold_bn_channel_params, fold_kernel, fold_w, unfold_w,
+            )
+
+            y = jax.lax.conv_general_dilated(
+                fold_w(x_q), fold_kernel(w_q), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = unfold_w(y.astype(jnp.float32) * (s_a * fold_bn_channel_params(w_scale)))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x_q,
+                w_q,
+                window_strides=_pair(self.s),
+                padding=((ph, ph), (pw, pw)),
+                rhs_dilation=(self.d, self.d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.g,
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (s_a * w_scale)
         if self.use_bias:
             y = y + p["bias"].astype(jnp.float32)
         return y.astype(self.dtype)

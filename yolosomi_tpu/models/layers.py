@@ -675,7 +675,13 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         s = int(self.scale_factor)
-        return jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+        # single broadcast+reshape instead of repeat-of-repeat: the chained
+        # repeats materialize an intermediate (B,sH,W,C) tensor; one
+        # broadcast is a no-copy view XLA can fuse into the consumer
+        # (13 upsample/BiFPN sites are pure-bandwidth, PERF.md SoL table)
+        b, h, w, c = x.shape
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+        return y.reshape(b, h * s, w * s, c)
 
 
 class Swish(nn.Module):

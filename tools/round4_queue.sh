@@ -1,9 +1,12 @@
 #!/usr/bin/env bash
-# Round-4 TPU work queue: serving-family accuracy axis (VERDICT item 1).
-# Waits for the flagship teacher run, then distills the four serving
-# students from it and evaluates every member bf16 + int8(+head-excl)
-# through val.py's exact protocol. One process at a time — the single
-# tunneled TPU chip cannot be shared.
+# Round-4 TPU work queue (single tunneled chip — one process at a time):
+#   1. wait for the flagship teacher run (shapes1200)
+#   2. perf probes on the idle chip (fold-conv, attention/BiFPN, e2e A/B)
+#   3. distill the serving students from the teacher (mixup-free hyp:
+#      one device-mosaic composite instead of two, PERF.md)
+#   4. one from-scratch control
+#   5. evaluate the whole family bf16 + int8(+head-excl) via val.py
+#   6. automated int8 exclusion sweep on the fastest student
 #
 # Usage: nohup bash tools/round4_queue.sh > /tmp/round4_queue.log 2>&1 &
 set -uo pipefail
@@ -21,11 +24,18 @@ TEACHER_CKPT=$TEACHER_RUN/weights/best.ckpt
 [[ -f $TEACHER_CKPT ]] || TEACHER_CKPT=$TEACHER_RUN/weights/last.ckpt
 [[ -f $TEACHER_CKPT ]] || { echo "[queue] no teacher checkpoint; abort"; exit 1; }
 
+# ---- perf probes on the idle chip (minutes; results -> /tmp/probe_*.log) --
+echo "[queue] ===== perf probes ($(date)) ====="
+timeout 1200 python tools/probe_fold_conv.py > /tmp/probe_fold.log 2>&1 \
+  && tail -8 /tmp/probe_fold.log || echo "[queue] fold probe FAILED"
+timeout 1800 python tools/probe_attention.py > /tmp/probe_attn.log 2>&1 \
+  && tail -25 /tmp/probe_attn.log || echo "[queue] attention probe FAILED"
+
 # students: distill from the flagship (engine/distill.py level-mapped)
 for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do
   echo "[queue] ===== distill $S ($(date)) ====="
-  timeout 3600 python train.py --cfg "$S" --data "$DATA" --hyp hyp.visdrone \
-    --imgsz 640 --batch-size 24 --epochs 100 --name "${S}1200" --cache device \
+  timeout 3600 python train.py --cfg "$S" --data "$DATA" --hyp hyp.shapes-distill \
+    --imgsz 640 --batch-size 24 --epochs 40 --name "${S}1200" --cache device \
     --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor \
     --teacher "$TEACHER_CKPT" --teacher-cfg yolo-somi --distill 1.0 \
     || echo "[queue] $S distill FAILED"
@@ -33,8 +43,8 @@ done
 
 # one from-scratch control on the fastest student (Pareto: distilled vs scratch)
 echo "[queue] ===== scratch yolo-somi-t-p3s8 ($(date)) ====="
-timeout 3600 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.visdrone \
-  --imgsz 640 --batch-size 24 --epochs 100 --name somi-t-p3s8-scratch --cache device \
+timeout 3600 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.shapes-distill \
+  --imgsz 640 --batch-size 24 --epochs 40 --name somi-t-p3s8-scratch --cache device \
   --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor || echo "[queue] scratch FAILED"
 
 # evaluate the whole family: bf16 and int8 + head exclusion
@@ -56,5 +66,15 @@ eval_one yolo-somi-t-p3 yolo-somi-t-p31200
 eval_one yolo-somi-t-p3s yolo-somi-t-p3s1200
 eval_one yolo-somi-t-p3s8 yolo-somi-t-p3s81200
 eval_one yolo-somi-t-p3s8 somi-t-p3s8-scratch
+
+# automated int8 exclusion on the fastest student (verdict item 8)
+S8W=runs/train/yolo-somi-t-p3s81200/weights/best.msgpack
+if [[ -f $S8W ]]; then
+  echo "[queue] ===== quant sensitivity somi-t-p3s8 ($(date)) ====="
+  timeout 3600 python tools/quant_sensitivity.py --weights "$S8W" \
+    --cfg yolo-somi-t-p3s8 --data "$DATA" --imgsz 640 --batch-size 24 \
+    --chunk 12 --max-rounds 2 --out runs/quant_sensitivity_p3s8.json \
+    || echo "[queue] quant sweep FAILED"
+fi
 
 echo "[queue] all done at $(date)"

@@ -30,6 +30,10 @@ timeout 1200 python tools/probe_fold_conv.py > /tmp/probe_fold.log 2>&1 \
   && tail -8 /tmp/probe_fold.log || echo "[queue] fold probe FAILED"
 timeout 1800 python tools/probe_attention.py > /tmp/probe_attn.log 2>&1 \
   && tail -25 /tmp/probe_attn.log || echo "[queue] attention probe FAILED"
+timeout 2400 python tools/bench_fold_ab.py > /tmp/bench_fold_ab.log 2>&1 \
+  && tail -12 /tmp/bench_fold_ab.log || echo "[queue] fold A/B FAILED"
+timeout 1800 python tools/probe_train_ledger.py > /tmp/probe_train_ledger.log 2>&1 \
+  && tail -16 /tmp/probe_train_ledger.log || echo "[queue] train ledger FAILED"
 
 # students: distill from the flagship (engine/distill.py level-mapped)
 for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do

@@ -302,7 +302,16 @@ def run(
         maps[int(c)] = ap[i]
     vb, vo, vc = (val_losses / max(n_loss_batches, 1)).tolist()
     results = (mp, mr, map50, map_, vb, vo, vc)
-    LOGGER.info(f"fitness: {fitness(np.array(results[:4])):.4f} ({time.time() - t_start:.1f}s)")
+    fi = float(fitness(np.array(results[:4])))
+    LOGGER.info(f"fitness: {fi:.4f} ({time.time() - t_start:.1f}s)")
+    # machine-readable summary for downstream tables (Pareto collector,
+    # reproduce_baseline.sh): one JSON per run dir
+    (save_dir / "metrics.json").write_text(json.dumps({
+        "P": float(mp), "R": float(mr), "mAP50": float(map50), "mAP": float(map_),
+        "fitness": fi, "images": int(seen),
+        "speed_ms": {"pre": spd[0], "inference_nms": spd[1], "post": spd[2]},
+        "int8": bool(int8), "imgsz": int(imgsz), "cfg": str(cfg),
+    }))
     return results, maps, spd
 
 

@@ -29,6 +29,10 @@ def main():
                          "params+momentum HBM round trip). Safe in isolation; the "
                          "production loop keeps donate=False on the tunnel runtime "
                          "(interleaved-val corruption, see trainer.py)")
+    ap.add_argument("--remat", type=int, default=0,
+                    help="jax.checkpoint segments (trainer._remat_forward); trades "
+                         "~1 extra forward for O(n/segments) activation memory — "
+                         "the standard TPU answer to a memory-bound backward")
     args = ap.parse_args()
 
     from yolosomi_tpu.engine.optim import make_optimizer
@@ -45,7 +49,8 @@ def main():
     loss_fn = ComputeLoss(meta, hyp)
     optimizer = make_optimizer(hyp, nb=100, epochs=100, batch_size=args.batch)
     state = create_train_state(dict(variables), optimizer)
-    step = make_train_step(model, loss_fn, optimizer, donate=args.donate)
+    step = make_train_step(model, loss_fn, optimizer, donate=args.donate,
+                           remat_segments=args.remat)
 
     b, sz = args.batch, args.imgsz
     rng = np.random.default_rng(0)
@@ -69,7 +74,7 @@ def main():
         prev = metrics
     float(jax.tree_util.tree_leaves(prev)[0])
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step b{b} {sz}px: {dt * 1000:.1f} ms/step -> {b / dt:.1f} img/s")
+    print(f"train step b{b} {sz}px remat={args.remat}: {dt * 1000:.1f} ms/step -> {b / dt:.1f} img/s")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,14 @@ timeout 2400 python tools/bench_fold_ab.py > /tmp/bench_fold_ab.log 2>&1 \
   && tail -12 /tmp/bench_fold_ab.log || echo "[queue] fold A/B FAILED"
 timeout 1800 python tools/probe_train_ledger.py > /tmp/probe_train_ledger.log 2>&1 \
   && tail -16 /tmp/probe_train_ledger.log || echo "[queue] train ledger FAILED"
+# remat x batch sweep (verdict item 4): does recompute stop the b32/b64
+# memory-bound backward regression?
+for RB in "16 0" "16 3" "32 0" "32 3" "64 3"; do
+  set -- $RB
+  echo "[queue] bench_train b$1 remat=$2"
+  timeout 1200 python tools/bench_train.py --batch "$1" --remat "$2" 2>&1 | tail -2
+done > /tmp/bench_train_remat.log 2>&1 || echo "[queue] remat sweep FAILED"
+tail -15 /tmp/bench_train_remat.log
 
 # students: distill from the flagship (engine/distill.py level-mapped)
 for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do

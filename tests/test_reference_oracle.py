@@ -908,6 +908,13 @@ def flagship_oracle_pair():
         "Segment": getattr(ref_yolo, "Segment", None),
         "EMACBAM": ref_common.EMACBAMBottleneck,
     }
+    # The monkeypatches are needed ONLY while the reference's parse_model
+    # evals the YAML class names; restore them the moment the Model object
+    # exists (its modules hold direct class references). This fixture is
+    # module-scoped: deferring the restore to fixture TEARDOWN (end of
+    # module) left ref_yolo.C2f pointing at C2fEMACBAM for every later
+    # test in the file and corrupted the reference's own yolov10 build
+    # (the round-3/4 order-dependent KeyError).
     ref_yolo.C2f = ref_common.C2fEMACBAM
     ref_yolo.Segment = type("Segment", (), {})
     ref_common.EMACBAMBottleneck = _RepairedEMACBAM
@@ -917,13 +924,6 @@ def flagship_oracle_pair():
             _yaml.safe_dump(refcfg, f)
             ref_yaml = f.name
         ref_model = ref_yolo.Model(ref_yaml, ch=3, nc=nc)
-        sd = _randomize_sd(ref_model)
-        ref_model.eval()
-
-        model, meta = build_model(cfg, nc=nc)
-        variables = init_model(model, meta, imgsz=128)
-        variables = convert_state_dict(sd, variables, strict=True)
-        yield ref_model, sd, model, meta, variables
     finally:
         for name, val in (("C2f", saved["C2f"]), ("Segment", saved["Segment"])):
             if val is None:
@@ -932,6 +932,13 @@ def flagship_oracle_pair():
                 setattr(ref_yolo, name, val)
         ref_common.EMACBAMBottleneck = saved["EMACBAM"]
         ref_yolo.EMACBAMBottleneck = saved["EMACBAM"]
+    sd = _randomize_sd(ref_model)
+    ref_model.eval()
+
+    model, meta = build_model(cfg, nc=nc)
+    variables = init_model(model, meta, imgsz=128)
+    variables = convert_state_dict(sd, variables, strict=True)
+    yield ref_model, sd, model, meta, variables
 
 
 def test_full_flagship_oracle_coverage(flagship_oracle_pair):

@@ -106,13 +106,15 @@ fi
 # ---------------------------------------------------------------------------
 # helpers: run our val.py / the reference's val.py, harvest mAP@.5
 # ---------------------------------------------------------------------------
-run_ours() { # $1 tag, rest: args
+run_ours() { # $1 tag, rest: args.  stdout = the mAP@.5 number ONLY
   local tag="$1"; shift
-  note "OURS  [$tag] val.py $*"
+  note "OURS  [$tag] val.py $*" >&2
   $PY val.py "$@" --project "$WORK/ours" --name "$tag" --exist-ok \
-    | tee "$WORK/ours_$tag.log"
-  # val.py prints the reference-format table; `all` row col 5 = mAP@.5
-  awk '$1=="all" {print $5; exit}' "$WORK/ours_$tag.log" || echo "nan"
+    > "$WORK/ours_$tag.log" 2>&1 || true
+  # robust harvest: val.py writes metrics.json into the run dir
+  $PY -c "import json,sys;from pathlib import Path;p=Path(sys.argv[1]);\
+print(f\"{json.loads(p.read_text())['mAP50']:.4f}\" if p.exists() else 'nan')" \
+    "$WORK/ours/$tag/metrics.json"
 }
 
 run_reference() { # $1 tag, rest: args for the reference val.py
@@ -120,10 +122,11 @@ run_reference() { # $1 tag, rest: args for the reference val.py
   if [[ $SYNTHETIC -eq 1 ]]; then
     echo "skip"; return
   fi
-  note "REF   [$tag] $REF_DIR/val.py $*"
+  note "REF   [$tag] $REF_DIR/val.py $*" >&2
   (cd "$REF_DIR" && $PY val.py "$@" --project "$WORK/ref" --name "$tag" --exist-ok) \
-    | tee "$WORK/ref_$tag.log"
-  awk '$1=="all" {print $5; exit}' "$WORK/ref_$tag.log" || echo "nan"
+    > "$WORK/ref_$tag.log" 2>&1 || true
+  # reference val table: `all` row cols = Class Images Labels P R mAP@.5 mAP
+  awk '$1=="all" {print $6; exit}' "$WORK/ref_$tag.log" || echo "nan"
 }
 
 record() { # tag ours ref
@@ -180,10 +183,9 @@ record "c4_train" "$(tail -2 "$WORK"/ours/c4/results.csv | head -1 | cut -d, -f8
 
 # config 5: UAVDT full eval with TTA + WBF ensemble
 note "config 5: TTA val + WBF fuse"
-run_ours c5 --weights "$WORK/yolov5l.msgpack" --cfg yolov5l \
+OURS5=$(run_ours c5 --weights "$WORK/yolov5l.msgpack" --cfg yolov5l \
   --data "$(data_for uavdt)" --imgsz 640 --batch-size 4 --augment --save-txt --save-conf \
-  > /dev/null
-OURS5=$(awk '$1=="all" {print $5; exit}' "$WORK/ours_c5.log")
+  | tail -1)
 if compgen -G "$WORK/ours/c5/labels/*.txt" > /dev/null; then
   $PY wbf.py --dirs "$WORK/ours/c5/labels" "$WORK/ours/c5/labels" --out "$WORK/ours/c5_wbf"
 fi

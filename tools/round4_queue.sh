@@ -36,7 +36,7 @@ timeout 1800 python tools/probe_train_ledger.py > /tmp/probe_train_ledger.log 2>
   && tail -16 /tmp/probe_train_ledger.log || echo "[queue] train ledger FAILED"
 # remat x batch sweep (verdict item 4): does recompute stop the b32/b64
 # memory-bound backward regression?
-for RB in "16 0" "16 3" "32 0" "32 3" "64 3"; do
+for RB in "16 0" "16 3" "32 3"; do
   set -- $RB
   echo "[queue] bench_train b$1 remat=$2"
   timeout 1200 python tools/bench_train.py --batch "$1" --remat "$2" 2>&1 | tail -2
@@ -47,7 +47,7 @@ tail -15 /tmp/bench_train_remat.log
 for S in yolo-somi-t yolo-somi-t-p3 yolo-somi-t-p3s yolo-somi-t-p3s8; do
   echo "[queue] ===== distill $S ($(date)) ====="
   timeout 3600 python train.py --cfg "$S" --data "$DATA" --hyp hyp.shapes-distill \
-    --imgsz 640 --batch-size 24 --epochs 40 --name "${S}1200" --cache device \
+    --imgsz 640 --batch-size 24 --epochs 25 --name "${S}1200" --cache device \
     --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor \
     --teacher "$TEACHER_CKPT" --teacher-cfg yolo-somi --distill 1.0 \
     || echo "[queue] $S distill FAILED"
@@ -56,7 +56,7 @@ done
 # one from-scratch control on the fastest student (Pareto: distilled vs scratch)
 echo "[queue] ===== scratch yolo-somi-t-p3s8 ($(date)) ====="
 timeout 3600 python train.py --cfg yolo-somi-t-p3s8 --data "$DATA" --hyp hyp.shapes-distill \
-  --imgsz 640 --batch-size 24 --epochs 40 --name somi-t-p3s8-scratch --cache device \
+  --imgsz 640 --batch-size 24 --epochs 15 --name somi-t-p3s8-scratch --cache device \
   --ckpt-period 10 --val-period 5 --exist-ok --noautoanchor || echo "[queue] scratch FAILED"
 
 # evaluate the whole family: bf16 and int8 + head exclusion
@@ -85,7 +85,7 @@ if [[ -f $S8W ]]; then
   echo "[queue] ===== quant sensitivity somi-t-p3s8 ($(date)) ====="
   timeout 3600 python tools/quant_sensitivity.py --weights "$S8W" \
     --cfg yolo-somi-t-p3s8 --data "$DATA" --imgsz 640 --batch-size 24 \
-    --chunk 12 --max-rounds 2 --out runs/quant_sensitivity_p3s8.json \
+    --chunk 12 --max-rounds 1 --out runs/quant_sensitivity_p3s8.json \
     || echo "[queue] quant sweep FAILED"
 fi
 

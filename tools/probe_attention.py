@@ -86,6 +86,7 @@ def main():
     print("\n== EMACBAMBottleneck (2 convs + channel gate + grouped spatial gate + GN) ==")
 
     class _NoSpatial(EMACBAMBottleneck):
+        @nn.compact
         def __call__(self, x, train=False):  # type: ignore[override]
             import flax.linen as nn_
 
@@ -100,6 +101,7 @@ def main():
             return y * gate_c[:, None, None, :]
 
     class _ConvsOnly(EMACBAMBottleneck):
+        @nn.compact
         def __call__(self, x, train=False):  # type: ignore[override]
             c_ = int(self.c2 * self.e)
             y = ConvRaw(c_, 3, 1, use_bias=True, dtype=self.dtype, name="cv1")(x)

@@ -24,13 +24,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fetch(out):
+    # through the remote tunnel block_until_ready returns before remote
+    # execution finishes (bench.py methodology note) — only a host fetch
+    # of a data-dependent scalar gives honest wall times
+    return float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+
+
 def timed(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # fetch only the LAST output: executables run in order on the chip's
+    # stream, so its completion bounds them all — one RTT per loop, not per
+    # iteration
+    _fetch(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

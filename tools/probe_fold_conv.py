@@ -28,13 +28,20 @@ import numpy as np
 from yolosomi_tpu.ops.foldconv import conv3x3_w_folded, conv_folded, fold_kernel, fold_w, unfold_w
 
 
+def _fetch(out):
+    # tunnel-honest completion: fetch one data-dependent element to host
+    # (block_until_ready can return early through the remote relay)
+    return float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+
+
 def timed(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)  # stream-ordered: last completion bounds all iterations
     return (time.perf_counter() - t0) / iters * 1e3
 
 

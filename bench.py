@@ -123,7 +123,8 @@ if __name__ == "__main__":
         "physics ceiling ~807 bf16, PERF.md speed-of-light table). NOT measured "
         "here: the TPU-shaped serving students — PERF.md's serving-family tables "
         'QUOTE "914 (somi-t) / 1,817 (somi-t-p3s) / 2,226 img/s/chip '
-        "(somi-t-p3s8, int8 b128)\" with their accuracy columns; reproduce with "
+        "(somi-t-p3s8, int8 b128)\"; their MEASURED accuracy columns are in "
+        "PARETO.md (shapes1200 val protocol, round 4); reproduce with "
         "bench.bench(cfg='yolo-somi-t-p3s8', batches=(128,))."
     )
     n_dev = max(jax.device_count(), 1)

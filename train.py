@@ -369,6 +369,7 @@ def train(hyp: dict, opt) -> float:
     # train-loop bottleneck; see PERF.md round-3 loop pipelining)
     xfer = ThreadPoolExecutor(max_workers=1)
     prev_best_fitness = best_fitness
+    last_results = (0, 0, 0, 0, 0, 0, 0)
     for epoch in range(start_epoch, opt.epochs):
         final_epoch = epoch
         mloss = np.zeros(3)
@@ -470,7 +471,13 @@ def train(hyp: dict, opt) -> float:
                 single_cls=opt.single_cls, compute_loss=loss_fn, dataloader=val_loader,
             )
         LOGGER.info(f"epoch {epoch} val total {time.time() - t_val0:.1f}s")
+        if not val_ran:
+            # --val-period skip epoch: carry the last measured metrics
+            # forward so results.csv / W&B fitness curves do not oscillate
+            # to zero between validated epochs (ADVICE r4).
+            results = last_results
         fi = fitness(np.array(results[:4]))
+        last_results = results
         with open(results_file, "a") as f:
             if epoch == start_epoch and f.tell() == 0:
                 f.write("epoch,box,obj,cls,P,R,mAP50,mAP,fitness\n")
@@ -481,15 +488,21 @@ def train(hyp: dict, opt) -> float:
             )
         if fi > best_fitness:
             best_fitness = fi
-        wb.end_epoch(
-            {
-                "train/box_loss": float(mloss[0]), "train/obj_loss": float(mloss[1]),
-                "train/cls_loss": float(mloss[2]), "metrics/precision": float(results[0]),
-                "metrics/recall": float(results[1]), "metrics/mAP_0.5": float(results[2]),
-                "metrics/mAP_0.5:0.95": float(results[3]), "metrics/fitness": float(fi),
-            },
-            step=epoch,
-        )
+        payload = {
+            "train/box_loss": float(mloss[0]), "train/obj_loss": float(mloss[1]),
+            "train/cls_loss": float(mloss[2]),
+        }
+        if val_ran:
+            payload.update(
+                {
+                    "metrics/precision": float(results[0]),
+                    "metrics/recall": float(results[1]),
+                    "metrics/mAP_0.5": float(results[2]),
+                    "metrics/mAP_0.5:0.95": float(results[3]),
+                    "metrics/fitness": float(fi),
+                }
+            )
+        wb.end_epoch(payload, step=epoch)
         # async checkpointing: enqueue a reference to the (immutable)
         # device state; the writer thread pulls + serializes while the
         # TPU runs the next epoch. The synchronous version cost

@@ -151,6 +151,7 @@ class ConvRaw(nn.Module):
             and _pair(self.s) == (1, 1)
             and self.d == 1
             and self.g == 1
+            and _pair(autopad(self.k, self.p, self.d)) == (1, 1)
             and x.shape[-1] <= max_c
             and self.c2 <= max_c
             and x.shape[2] % 2 == 0

@@ -85,6 +85,17 @@ class WandbLogger:
         files = sorted(Path(root).glob("*"))
         ckpts = [f for f in files if f.suffix in (".msgpack", ".ckpt", ".pt")]
         assert ckpts, f"artifact {ref} contains no checkpoint file ({files})"
+        # Resume wants the run's LAST state, not the alphabetically-first
+        # file (which would always pick best.* over last.*) — prefer an
+        # explicit stem priority, falling back to the alias stem if the
+        # caller asked for e.g. ':best' (ADVICE r4).
+        alias = ref.rsplit(":", 1)[1] if ":" in ref else ""
+        priority = ([alias] if alias in ("best", "last") else []) + ["last", "best"]
+        for stem in priority:
+            named = [f for f in ckpts if f.stem == stem]
+            if named:
+                ckpts = named
+                break
         meta = getattr(art, "metadata", {}) or {}
         if meta:
             LOGGER.info(f"resumed artifact {ref}: epoch {meta.get('epoch')}, fitness {meta.get('fitness')}")

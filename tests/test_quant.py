@@ -133,3 +133,73 @@ def test_int8_exclude_paths():
     assert np.abs(head_fp - full).max() > 100 * max(jit_noise, 1e-9), "head exclusion had no effect"
     # head-float output closer to the float reference than all-int8
     assert np.abs(head_fp - ref).mean() < np.abs(full - ref).mean()
+
+
+def test_per_channel_activation_scales_beat_per_tensor_on_mixed_scales():
+    """The -p3s neck hypothesis (PARETO.md r4): a concat of branches with
+    wildly different magnitudes saturates a per-tensor activation scale —
+    the low-magnitude branch lands below one quantization step and its
+    signal is destroyed; per-channel scales (folded into the kernel,
+    still int8 MXU) keep every channel at full 127-step precision.
+
+    Identity 1x1 conv makes the effect directly observable per channel:
+    output == input, so the quantization error of each input channel is
+    read off the matching output channel."""
+    rng = np.random.default_rng(4)
+    # channels 0-3: magnitude ~100 (one concat branch); 4-7: ~0.1 (other)
+    x = np.concatenate(
+        [rng.standard_normal((2, 8, 8, 4)) * 100.0,
+         rng.standard_normal((2, 8, 8, 4)) * 0.1], axis=-1
+    ).astype(np.float32)
+    x = jnp.asarray(x)
+    m = ConvRaw(8, 1, use_bias=False)
+    v = m.init(jax.random.PRNGKey(4), x)
+    v = jax.tree_util.tree_map(lambda _: None, v)  # replaced below
+    v = {"params": {"conv": {"kernel": jnp.eye(8, dtype=jnp.float32)[None, None]}}}
+    ref = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(ref, np.asarray(x), rtol=1e-6)
+
+    def quantized(per_channel):
+        vq = dict(v, quant=calibrate(m, v, [x], per_channel=per_channel))
+        with quant_mode("int8"):
+            fn = jax.jit(lambda v_, x_: m.apply(v_, x_)).lower(vq, x).compile()
+        return np.asarray(fn(vq, x))
+
+    pt, pc = quantized(False), quantized(True)
+    small_ref = np.asarray(x)[..., 4:]
+    # relative error of the SMALL branch: per-tensor's quantization step is
+    # absmax(x)/127 ~ 3 — 30x the whole branch, which rounds to zero
+    err_pt = np.abs(pt[..., 4:] - small_ref).max() / np.abs(small_ref).max()
+    err_pc = np.abs(pc[..., 4:] - small_ref).max() / np.abs(small_ref).max()
+    assert err_pt > 0.5, err_pt  # destroyed under per-tensor
+    assert err_pc < 0.02, err_pc  # full precision under per-channel
+    # and the large branch stays fine either way
+    big_ref = np.asarray(x)[..., :4]
+    assert np.abs(pc[..., :4] - big_ref).max() / np.abs(big_ref).max() < 0.02
+
+
+def test_per_channel_grouped_conv():
+    """Group-aware kernel folding: per-channel activation scales on a
+    grouped conv (the reshape maps scale s_a[c] onto the kernel slice of
+    the group that consumes channel c)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32)
+                    * np.array([100, 50, 10, 5, 1, 0.5, 0.1, 0.05], np.float32))
+    for g in (2, 4, 8):
+        m = ConvRaw(8, 3, g=g)
+        v = m.init(jax.random.PRNGKey(5), x)
+        ref = np.asarray(m.apply(v, x))
+        vq = dict(v, quant=calibrate(m, v, [x], per_channel=True))
+        with quant_mode("int8"):
+            out = np.asarray(jax.jit(lambda v_, x_: m.apply(v_, x_)).lower(vq, x).compile()(vq, x))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.02, (g, rel)
+
+
+def test_per_channel_restores_flag():
+    from yolosomi_tpu.models.layers import QUANT_ACT_PER_CHANNEL
+
+    assert QUANT_ACT_PER_CHANNEL[0] is False
+    with quant_mode("calib", per_channel=True):
+        assert QUANT_ACT_PER_CHANNEL[0] is True
+    assert QUANT_ACT_PER_CHANNEL[0] is False

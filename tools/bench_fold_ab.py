@@ -22,10 +22,10 @@ def main():
     from yolosomi_tpu.ops.foldconv import fold_w_mode
 
     print("== base (fold off) ==")
-    base = bench.bench()
+    base = bench.bench()["best"]
     print("== fold_w_mode(64) ==")
     with fold_w_mode(64):
-        fold = bench.bench()
+        fold = bench.bench()["best"]
     print(f"\nA/B: base {base:.1f} img/s vs fold {fold:.1f} img/s "
           f"({(fold / base - 1) * 100:+.1f}%)")
 

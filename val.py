@@ -90,6 +90,7 @@ def run(
     shard_spatial=1,
     int8=False,
     int8_exclude=(),
+    int8_per_channel=False,
     runner: Runner = None,
     dataloader: DataLoader = None,
     names=None,
@@ -139,7 +140,8 @@ def run(
         )
         calib = next(iter(dataloader))[0]
         qfn = quantized_infer_fn(
-            runner, calib, exclude=exclude, conf_thres=conf_thres, iou_thres=iou_thres,
+            runner, calib, exclude=exclude, per_channel=int8_per_channel,
+            conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=True, max_det=max_det, exact=True, max_nms=30000,
         )
         infer = lambda variables, x: qfn(x)  # noqa: E731
@@ -344,6 +346,10 @@ def parse_opt(argv=None):
     parser.add_argument(
         "--int8-exclude", nargs="+", default=[], metavar="REGEX",
         help="module-path regexes kept in float under --int8 ('head' = the detect head)",
+    )
+    parser.add_argument(
+        "--int8-per-channel", action="store_true",
+        help="per-channel activation scales under --int8 (mixed-scale concat fix)",
     )
     parser.add_argument("--shard-spatial", type=int, default=1,
                         help="split activations along H over N devices (1280px+ inputs)")

@@ -58,6 +58,15 @@ QUANT_MODE: list = [None]
 # PERF.md round-3 int8 accuracy bound names this as the next lever).
 QUANT_EXCLUDE: list = [()]
 
+# Per-CHANNEL activation scales (calib-time flag): sow a (Cin,) absmax
+# instead of a scalar. The int8 forward picks its dequant math from the
+# stored scale's shape, so inference needs no flag. This is the measured
+# answer to the -p3s int8 neck collapse hypothesis (PARETO.md r4): on
+# mixed-scale concat consumers a single per-tensor scale saturates the
+# low-magnitude branch; per-channel scales fold into the weights
+# (w~[c,o] = s_a[c] * w[c,o]) so the MXU path stays int8 x int8 -> int32.
+QUANT_ACT_PER_CHANNEL: list = [False]
+
 
 # W-parity fold serving mode (ops/foldconv.py; PERF.md round-3 lever 2,
 # "L2 half-lane C2fCBAM"): rewrite eligible half-lane 3x3 s1 convs as
@@ -123,13 +132,23 @@ class ConvRaw(nn.Module):
         )
         mode = QUANT_MODE[0]
         if mode == "calib" and not self.is_initializing():
-            self.sow(
-                "quant_stats",
-                "absmax",
-                jnp.max(jnp.abs(x.astype(jnp.float32))),
-                init_fn=lambda: jnp.zeros(()),
-                reduce_fn=jnp.maximum,
-            )
+            if QUANT_ACT_PER_CHANNEL[0]:
+                c_in = x.shape[-1]
+                self.sow(
+                    "quant_stats",
+                    "absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1))),
+                    init_fn=lambda: jnp.zeros((c_in,)),
+                    reduce_fn=jnp.maximum,
+                )
+            else:
+                self.sow(
+                    "quant_stats",
+                    "absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    init_fn=lambda: jnp.zeros(()),
+                    reduce_fn=jnp.maximum,
+                )
         elif (
             mode == "int8"
             and self.has_variable("quant", "a_scale")
@@ -171,19 +190,41 @@ class ConvRaw(nn.Module):
         return unfold_w(y)
 
     def _int8_forward(self, x, conv):
-        """Symmetric int8 conv: per-tensor activation scale (calibrated),
-        per-out-channel weight scale, int32 MXU accumulation — the serving
-        path that clears the bf16 compute ceiling (PERF.md)."""
+        """Symmetric int8 conv: per-tensor OR per-channel activation scale
+        (shape of the calibrated `a_scale` decides), per-out-channel
+        weight scale, int32 MXU accumulation — the serving path that
+        clears the bf16 compute ceiling (PERF.md)."""
         a_scale = self.get_variable("quant", "a_scale")  # activation absmax
         p = self.get_variable("params", "conv")
         w = p["kernel"].astype(jnp.float32)  # (kh, kw, cin/g, cout)
-        w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
-        w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
-        s_a = jnp.maximum(a_scale, 1e-8) / 127.0
-        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127).astype(jnp.int8)
+        per_channel = getattr(a_scale, "ndim", 0) == 1
+        if per_channel:
+            # fold the (cin,) activation scales into the kernel's input-
+            # channel axis (group-aware), THEN take per-out-channel weight
+            # scales of the folded kernel — the int8 x int8 -> int32 MXU
+            # contraction is unchanged, dequant stays one per-out-channel
+            # multiply (QUANT_ACT_PER_CHANNEL rationale above)
+            s_a_c = jnp.maximum(a_scale.astype(jnp.float32), 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a_c), -127, 127).astype(jnp.int8)
+            cin_g = w.shape[2]
+            if self.g == 1:
+                w_eff = w * s_a_c[None, None, :, None]
+            else:
+                cout_g = w.shape[3] // self.g
+                w5 = w.reshape(w.shape[0], w.shape[1], cin_g, self.g, cout_g)
+                w5 = w5 * s_a_c.reshape(self.g, cin_g).T[None, None, :, :, None]
+                w_eff = w5.reshape(w.shape)
+            w_scale = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)), 1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(w_eff / w_scale), -127, 127).astype(jnp.int8)
+            s_a = 1.0  # already folded into w_scale's kernel
+        else:
+            w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+            s_a = jnp.maximum(a_scale, 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127).astype(jnp.int8)
         k = _pair(self.k)
         ph, pw = _pair(autopad(self.k, self.p, self.d))
-        if self._fold_ok(x):
+        if self._fold_ok(x) and not per_channel:
             # int8 x W-parity fold compose: fold the already-quantized
             # kernel (its zeros stay zero), duplicate the per-out-channel
             # scales into folded layout, conv full-lane, unfold.

@@ -26,25 +26,32 @@ from typing import Iterable
 import jax
 import jax.numpy as jnp
 
-from yolosomi_tpu.models.layers import QUANT_EXCLUDE, QUANT_MODE
+from yolosomi_tpu.models.layers import QUANT_ACT_PER_CHANNEL, QUANT_EXCLUDE, QUANT_MODE
 
 
 @contextlib.contextmanager
-def quant_mode(mode, exclude=()):
+def quant_mode(mode, exclude=(), per_channel=False):
     """Trace-time switch; wrap model.apply (or its jit) in this.
 
     exclude: regex patterns matched against each ConvRaw's slash-joined
     flax path; matching convs stay float even in int8 mode (per-layer
-    sensitivity exclusion — e.g. the detect-head convs)."""
+    sensitivity exclusion — e.g. the detect-head convs).
+
+    per_channel: calib-mode only — sow (Cin,) per-channel activation
+    absmax instead of a scalar; the int8 forward auto-detects the scale
+    shape, so inference traces need no flag."""
     prev = QUANT_MODE[0]
     prev_ex = QUANT_EXCLUDE[0]
+    prev_pc = QUANT_ACT_PER_CHANNEL[0]
     QUANT_MODE[0] = mode
     QUANT_EXCLUDE[0] = tuple(exclude)
+    QUANT_ACT_PER_CHANNEL[0] = bool(per_channel)
     try:
         yield
     finally:
         QUANT_MODE[0] = prev
         QUANT_EXCLUDE[0] = prev_ex
+        QUANT_ACT_PER_CHANNEL[0] = prev_pc
 
 
 def _stats_to_scales(tree):
@@ -62,16 +69,18 @@ def _stats_to_scales(tree):
     return tree
 
 
-def calibrate(model, variables, batches: Iterable, train: bool = False):
+def calibrate(model, variables, batches: Iterable, train: bool = False,
+              per_channel: bool = False):
     """Run representative batches in calib mode and return the 'quant'
-    collection (per-conv activation absmax scales)."""
+    collection (per-conv activation absmax scales; `per_channel=True`
+    stores (Cin,) scales — the mixed-scale-concat fix, PARETO.md r4)."""
     import inspect
 
     kw = {}
     if "train" in inspect.signature(type(model).__call__).parameters:
         kw["train"] = train
     stats = None
-    with quant_mode("calib"):
+    with quant_mode("calib", per_channel=per_channel):
         fn = jax.jit(
             lambda v, x: model.apply(v, x, mutable=["quant_stats"], **kw)[1]["quant_stats"]
         )
@@ -88,13 +97,14 @@ def calibrate(model, variables, batches: Iterable, train: bool = False):
     return _stats_to_scales(stats)
 
 
-def quantized_infer_fn(runner, calib_images, exclude=(), **nms_kw):
+def quantized_infer_fn(runner, calib_images, exclude=(), per_channel=False, **nms_kw):
     """Build a jitted int8 end-to-end inference fn for a Runner:
     calibrates on `calib_images` (uint8 NHWC), then returns
     fn(images_u8) -> (B, max_det, 6) detections with int8 convs.
-    `exclude`: path regexes kept in float (see quant_mode)."""
+    `exclude`: path regexes kept in float (see quant_mode);
+    `per_channel`: per-channel activation scales (see calibrate)."""
     variables = runner.variables
-    quant = calibrate(runner.model, variables, [calib_images])
+    quant = calibrate(runner.model, variables, [calib_images], per_channel=per_channel)
     variables_q = dict(variables)
     variables_q["quant"] = quant
     from yolosomi_tpu.ops.nms import non_max_suppression

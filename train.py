@@ -270,13 +270,49 @@ def train(hyp: dict, opt) -> float:
             LOGGER.info(f"distillation: level map student->teacher = {list(level_map)} "
                         f"(teacher strides {t_strides})")
 
+        hint = float(getattr(opt, "distill_hint", 0.0) or 0.0)
+
         def teacher_apply(variables, images):
-            return t_model.apply(variables, images, train=False)
+            return t_model.apply(variables, images, train=False, features=hint > 0.0)
+
+        if hint > 0.0:
+            # FitNets hint term: plant one (Cs_i, Ct_i) 1x1 adapter per
+            # student level into the params tree (flax ignores unknown
+            # param subtrees at apply, so inference is unaffected; the
+            # optimizer learns them jointly — engine/distill.py hint_loss)
+            _sz = int(max(meta.strides)) * 4  # smallest size every level is nonempty at
+            dummy = jnp.zeros((1, _sz, _sz, 3), jnp.float32)
+            s_shapes = jax.eval_shape(
+                lambda v, x: model.apply(v, x, train=False, features=True), variables, dummy)[1]
+            t_vars_shape = {"params": t_vars["params"], "batch_stats": t_vars.get("batch_stats", {})}
+            t_shapes = jax.eval_shape(
+                lambda v, x: t_model.apply(v, x, train=False, features=True), t_vars_shape, dummy)[1]
+            t_shapes = [t_shapes[j] for j in level_map]
+            rng_a = jax.random.PRNGKey(opt.seed + 7)
+            variables = dict(variables)
+            variables["params"] = dict(variables["params"])
+            for i, (ss, ts) in enumerate(zip(s_shapes, t_shapes)):
+                cs, ct = int(ss.shape[-1]), int(ts.shape[-1])
+                rng_a, k = jax.random.split(rng_a)
+                variables["params"][f"kd_adapter_{i}"] = {
+                    "kernel": jax.random.normal(k, (cs, ct), jnp.float32) * (1.0 / np.sqrt(cs))
+                }
+            LOGGER.info(
+                f"distillation: hint={hint} adapters "
+                f"{[(int(s.shape[-1]), int(t.shape[-1])) for s, t in zip(s_shapes, t_shapes)]}")
+            # the TrainState above was built before the adapters existed —
+            # rebuild so the optimizer tracks them (hint distillation is a
+            # fresh-training recipe; a --resume'd optimizer state would not
+            # cover the new adapter leaves anyway)
+            if start_epoch > 0:
+                LOGGER.warning("--distill-hint with --resume: optimizer state restarts "
+                               "(adapter params are new leaves)")
+            state = create_train_state(dict(variables), optimizer, accumulate=accumulate)
 
         loss_fn = wrap_loss_with_distillation(
             loss_fn, teacher_apply, meta, alpha=getattr(opt, "distill", 1.0),
             teacher_anchors_px=np.asarray(t_meta.anchors_px)[list(level_map)],
-            level_map=level_map,
+            level_map=level_map, hint=hint,
         )
         # one device-resident copy, threaded through the step as an ARG
         # (a closure constant would be re-embedded per compiled program)
@@ -603,6 +639,9 @@ def parse_opt(argv=None):
                         help="teacher model config (defaults to --cfg)")
     parser.add_argument("--distill", type=float, default=1.0,
                         help="distillation loss weight alpha")
+    parser.add_argument("--distill-hint", type=float, default=0.0,
+                        help="feature-hint distillation weight (1x1 adapter to teacher "
+                             "head-input features, masked to teacher-confident cells)")
     parser.add_argument("--ckpt-period", type=int, default=1,
                         help="save last/best every N epochs (+ improvements and final); "
                              "1 = reference every-epoch semantics")

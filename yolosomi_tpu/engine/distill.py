@@ -83,6 +83,39 @@ def distill_loss(
     return total / max(len(student_preds), 1)
 
 
+def hint_loss(
+    student_feats: Sequence[jax.Array],
+    teacher_feats: Sequence[jax.Array],
+    adapters: Sequence[jax.Array],
+    teacher_preds: Sequence[jax.Array],
+    obj_thr: float = 0.25,
+):
+    """Feature (FitNets-style) hint term: per pyramid level, a learnable
+    1x1 adapter projects the student's head-input feature map to the
+    teacher's channel width, and the L2 gap is penalized ON
+    TEACHER-CONFIDENT CELLS only (max-over-anchors teacher objectness >
+    obj_thr) — background texture carries no signal worth imitating.
+    Normalized by the teacher feature's own power so the scale is
+    architecture-independent.
+
+    adapters[i]: (Cs_i, Ct_i) matrix living in the STUDENT's params tree
+    (train.py plants them as params['kd_adapter_i']['kernel']), so the
+    optimizer learns them jointly — gradients flow through this function
+    into both the student trunk and the adapters."""
+    total = jnp.zeros((), jnp.float32)
+    for i, (sf, tf, a, tp) in enumerate(zip(student_feats, teacher_feats, adapters, teacher_preds)):
+        tf = jax.lax.stop_gradient(tf.astype(jnp.float32))
+        tp = jax.lax.stop_gradient(tp.astype(jnp.float32))
+        proj = jnp.einsum("bhwc,cd->bhwd", sf.astype(jnp.float32), a.astype(jnp.float32))
+        # mask: teacher-confident cells, (B, ny, nx, 1)
+        t_obj = jax.nn.sigmoid(tp[..., 4]).max(axis=-1)
+        m = (t_obj > obj_thr).astype(jnp.float32)[..., None]
+        num = (((proj - tf) ** 2) * m).sum()
+        den = ((tf ** 2) * m).sum() + 1e-6
+        total = total + num / den
+    return total / max(len(student_feats), 1)
+
+
 def wrap_loss_with_distillation(
     base_loss: Callable,
     teacher_apply: Callable,
@@ -91,6 +124,7 @@ def wrap_loss_with_distillation(
     obj_thr: float = 0.25,
     teacher_anchors_px=None,
     level_map=None,
+    hint: float = 0.0,
 ):
     """Wrap a ComputeLoss-style callable so the jitted train step also
     runs the frozen teacher and adds alpha * distill_loss.
@@ -110,21 +144,33 @@ def wrap_loss_with_distillation(
     (a 134 MB bf16 flagship teacher breaks the HTTP relay), and under
     --multi-scale it would be re-embedded per compiled size."""
 
-    def loss_fn(preds, targets, images=None, aux=None):
+    def loss_fn(preds, targets, images=None, aux=None, feats=None, params=None):
         total, comps = base_loss(preds, targets)
         if images is None or aux is None:
             # callers without pixels (per-epoch val loss) get the plain
             # detection loss — KD is a train-step-only term
             return total, comps
-        t_preds = teacher_apply(aux, images)
+        t_out = teacher_apply(aux, images)
+        t_feats = None
+        if isinstance(t_out, tuple) and len(t_out) == 2 and isinstance(t_out[1], (tuple, list)):
+            t_preds, t_feats = t_out
+        else:
+            t_preds = t_out
         if level_map is not None:
             t_preds = [t_preds[j] for j in level_map]
+            if t_feats is not None:
+                t_feats = [t_feats[j] for j in level_map]
         kd = distill_loss(
             preds, t_preds, meta.anchors_px, meta.strides, obj_thr=obj_thr,
             teacher_anchors_px=teacher_anchors_px,
         )
-        return total + alpha * kd * preds[0].shape[0], comps
+        total = total + alpha * kd * preds[0].shape[0]
+        if hint > 0.0 and feats is not None and t_feats is not None and params is not None:
+            adapters = [params[f"kd_adapter_{i}"]["kernel"] for i in range(len(feats))]
+            total = total + hint * hint_loss(feats, t_feats, adapters, t_preds, obj_thr=obj_thr) * preds[0].shape[0]
+        return total, comps
 
     loss_fn.needs_images = True
     loss_fn.needs_aux = True
+    loss_fn.needs_features = hint > 0.0
     return loss_fn

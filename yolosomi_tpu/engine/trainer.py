@@ -137,11 +137,24 @@ def make_train_step(
             images = jax.image.resize(images, (b, scale_to, scale_to, c), method="bilinear")
 
         def loss_of(params):
+            feats = None
+            needs_feats = getattr(loss_fn, "needs_features", False)
             if remat_segments > 0:
+                assert not needs_feats, "--distill-hint is incompatible with --remat"
                 preds, bs_updates = _remat_forward(
                     model, params, state.batch_stats, images, remat_segments
                 )
                 mutated = {"batch_stats": {**state.batch_stats, **bs_updates}}
+            elif needs_feats:
+                # hint distillation: the forward additionally surfaces the
+                # head-input feature maps (engine/distill.py hint_loss)
+                (preds, feats), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                    features=True,
+                )
             else:
                 preds, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -154,7 +167,8 @@ def make_train_step(
                 # here, inside the same compiled step (engine/distill.py);
                 # the teacher tree arrives as the aux ARGUMENT, never as a
                 # closure constant (remote-compile literal-size limits)
-                loss, comps = loss_fn(preds, targets, images=images, aux=aux)
+                kw = {"feats": feats, "params": params} if needs_feats else {}
+                loss, comps = loss_fn(preds, targets, images=images, aux=aux, **kw)
             else:
                 loss, comps = loss_fn(preds, targets)
             return loss, (comps, mutated["batch_stats"])

@@ -706,18 +706,24 @@ class DetectionModel(nn.Module):
     head_from: Tuple[int, ...]
 
     @nn.compact
-    def __call__(self, x, train: bool = False, capture: Optional[int] = None, inject=None):
+    def __call__(self, x, train: bool = False, capture: Optional[int] = None, inject=None,
+                 features: bool = False):
         """Run the graph. `capture=i` additionally returns layer i's output;
         `inject={i: array}` replaces layer i's output (both power the
         Grad-CAM suite — the functional analogue of the reference's
-        forward hooks, yolo-gradcam/yolov5_heatmap.py:22-80)."""
+        forward hooks, yolo-gradcam/yolov5_heatmap.py:22-80).
+        `features=True` additionally returns the head's per-level input
+        feature maps (the neck outputs) — the hint plane for feature
+        distillation (engine/distill.py)."""
         saved: Dict[int, jax.Array] = {}
         captured = None
+        feats = None
         prev = x
         n = len(self.layers)
         for i, (m, f) in enumerate(zip(self.layers, self.froms)):
             if i == n - 1 and self.head_from:  # head consumes its `from` list
-                prev = m([saved[j] for j in self.head_from], train)
+                feats = [saved[j] for j in self.head_from]
+                prev = m(feats, train)
                 break
             if isinstance(f, int):
                 inp = prev if f == -1 else saved[f if f >= 0 else i + f]
@@ -732,6 +738,8 @@ class DetectionModel(nn.Module):
                 saved[i] = prev
         if capture is not None:
             return prev, captured
+        if features:
+            return prev, tuple(feats or ())
         return prev
 
     def run_range(self, x, saved_in: Dict[int, jax.Array], lo: int, hi: int, train: bool = False):

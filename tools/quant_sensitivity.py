@@ -49,6 +49,12 @@ def main(argv=None):
                         help="stop when int8 fitness is within eps of bf16")
     parser.add_argument("--chunk", type=int, default=6,
                         help="graph rows per candidate group (head separate)")
+    parser.add_argument("--rows", default=None, metavar="LO-HI",
+                        help="restrict candidate groups to graph rows LO..HI inclusive "
+                             "(e.g. 10-19 = the -p3s neck bisect, PARETO.md r4)")
+    parser.add_argument("--base-exclude", nargs="+", default=[], metavar="REGEX",
+                        help="exclusions applied to EVERY int8 eval including the "
+                             "baseline ('head' = the detect head)")
     parser.add_argument("--max-rounds", type=int, default=3,
                         help="greedy rounds (each evaluates every remaining group)")
     parser.add_argument("--out", default="runs/quant_sensitivity.json")
@@ -68,22 +74,34 @@ def main(argv=None):
     )
     dataloader = DataLoader(dataset, args.batch_size, shuffle=False)
 
+    head = n_layers - 1
+    base_exclude = tuple(
+        rf"^layers_{head}/" if p == "head" else p for p in args.base_exclude
+    )
+
     def evaluate(int8: bool, exclude=()):
         results, _, _ = val_cli.run(
             data=args.data, cfg=args.cfg, imgsz=args.imgsz, batch_size=args.batch_size,
-            int8=int8, int8_exclude=tuple(exclude), runner=runner, dataloader=dataloader,
+            int8=int8, int8_exclude=base_exclude + tuple(exclude),
+            runner=runner, dataloader=dataloader,
             names=data.get("names"), plots=False,
         )
         return _fitness(results)
 
     # candidate groups: contiguous row chunks + the head on its own
+    # (--rows LO-HI restricts to a sub-range, e.g. the p3s neck bisect)
     groups = {}
-    head = n_layers - 1
-    for lo in range(0, head, args.chunk):
-        hi = min(lo + args.chunk, head)
+    if args.rows:
+        row_lo, row_hi = (int(v) for v in args.rows.split("-"))
+        row_hi = min(row_hi + 1, head)
+    else:
+        row_lo, row_hi = 0, head
+    for lo in range(row_lo, row_hi, args.chunk):
+        hi = min(lo + args.chunk, row_hi)
         pat = rf"^layers_({'|'.join(str(i) for i in range(lo, hi))})/"
         groups[f"rows{lo}-{hi - 1}"] = pat
-    groups["head"] = rf"^layers_{head}/"
+    if not args.rows and not base_exclude:
+        groups["head"] = rf"^layers_{head}/"
 
     table = []
     f_bf16 = evaluate(False)
@@ -122,6 +140,7 @@ def main(argv=None):
         "within_eps": bool(best >= f_bf16 - args.eps),
         "exclude_groups": chosen,
         "exclude_regexes": exclusion,
+        "base_exclude": list(base_exclude),
         "cli": "--int8 " + (" ".join(f"--int8-exclude '{r}'" for r in exclusion) if exclusion else ""),
         "table": table,
     }

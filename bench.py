@@ -159,6 +159,20 @@ def main():
                 row = {"model": name, "batch": b, "error": str(e)[:200]}
             family_rows.append(row)
             print(f"# FAMILY_JSON {json.dumps(row)}")
+        if family_rows:
+            # machine-readable drop for tools/pareto_table.py (throughput
+            # column measured on THIS tree, not quoted)
+            try:
+                from pathlib import Path
+
+                Path("runs").mkdir(exist_ok=True)
+                Path("runs/bench_family.json").write_text(json.dumps({
+                    "flagship_img_s": round(per_chip, 1),
+                    "flagship_bf16_img_s": round(flag["bf16"] / n_dev, 1),
+                    "family": family_rows,
+                }, indent=2))
+            except OSError as e:
+                print(f"# bench_family.json not written: {e}")
 
     print(
         "# MEASURED BY THIS RUN: the unmodified flagship (JSON line below; "

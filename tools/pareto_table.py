@@ -1,12 +1,15 @@
 """Assemble the serving-family Pareto table: img/s/chip vs measured mAP.
 
-Round-3 verdict item 1: the 2,226 img/s (111% of north star) claim must
-carry an accuracy column. This collects the val.py metrics.json files
-written by tools/round4_queue.sh's eval stage (bf16 + int8 legs for the
-flagship teacher, the four distilled students, and the from-scratch
-control) and emits the PERF.md-ready markdown table. Throughput numbers
-are quoted from PERF.md's round-3 serving-family measurements (marked as
-such) unless a fresh bench log is supplied.
+Round-3 verdict item 1 (and round-4 weak #1): the serving-family claim
+must carry a measured accuracy column AND a throughput column measured
+on the CURRENT tree. This collects:
+  - accuracy: the val.py metrics.json files written by the round queue's
+    eval stage (bf16 + int8 legs for the flagship teacher, the distilled
+    students, the hint-distilled A/B, and the from-scratch control);
+  - throughput: runs/bench_family.json, written by every bench.py run
+    (bf16+int8 at the b128 operating point, pipelined scalar-fetch
+    protocol). If absent, the column says "pending" — it is never quoted
+    from an old round.
 
 Usage:
     python tools/pareto_table.py [--val-root runs/val] [--out PARETO.md]
@@ -18,39 +21,56 @@ import argparse
 import json
 from pathlib import Path
 
-# PERF.md round-3 serving-family throughput (int8 b128 / bf16 best), quoted.
-THROUGHPUT = {
-    "flagship1200": ("yolo-somi (flagship)", 286, 267),
-    "yolo-somi-t1200": ("yolo-somi-t", 914, 790),
-    "yolo-somi-t-p31200": ("yolo-somi-t-p3", 1645, 1396),
-    "yolo-somi-t-p3s1200": ("yolo-somi-t-p3s", 1817, 1579),
-    "yolo-somi-t-p3s81200": ("yolo-somi-t-p3s8", 2226, 1827),
-    "somi-t-p3s8-scratch": ("yolo-somi-t-p3s8 (scratch ctrl)", 2226, 1827),
-}
+# run-dir -> (label, bench_family model key)
+RUNS = (
+    ("flagship1200", "yolo-somi (flagship)", "__flagship__"),
+    ("yolo-somi-t1200", "yolo-somi-t", "yolo-somi-t"),
+    ("yolo-somi-t-p31200", "yolo-somi-t-p3", "yolo-somi-t-p3"),
+    ("yolo-somi-t-p3s1200", "yolo-somi-t-p3s", "yolo-somi-t-p3s"),
+    ("yolo-somi-t-p3s81200", "yolo-somi-t-p3s8", "yolo-somi-t-p3s8"),
+    ("s8-hint", "yolo-somi-t-p3s8 (+hint distill)", "yolo-somi-t-p3s8"),
+    ("somi-t-p3s8-scratch", "yolo-somi-t-p3s8 (scratch ctrl)", "yolo-somi-t-p3s8"),
+)
 
 
 def load(val_root: Path, run: str, leg: str):
-    d = val_root / f"val-{run}-{leg}"
-    f = d / "metrics.json"
-    if not f.exists():
-        return None
-    return json.loads(f.read_text())
+    f = val_root / f"val-{run}-{leg}" / "metrics.json"
+    return json.loads(f.read_text()) if f.exists() else None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--val-root", default="runs/val")
+    ap.add_argument("--bench", default="runs/bench_family.json")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     root = Path(args.val_root)
 
+    bench = {}
+    flagship_ips = None
+    bpath = Path(args.bench)
+    if bpath.exists():
+        b = json.loads(bpath.read_text())
+        flagship_ips = b.get("flagship_img_s")
+        for row in b.get("family", []):
+            bench[row["model"]] = row
+
+    def ips_cell(key):
+        if key == "__flagship__":
+            return f"{flagship_ips:.0f}" if flagship_ips else "pending"
+        r = bench.get(key)
+        if not r or r.get("error"):
+            return "pending"
+        best = max(x for x in (r.get("int8_img_s"), r.get("bf16_img_s")) if x)
+        return f"{best:.0f}"
+
     lines = [
-        "| model | img/s/chip (int8, quoted PERF.md r3) | mAP@.5 bf16 | mAP@.5:.95 bf16 | mAP@.5 int8+head-excl | dmAP@.5 vs flagship |",
+        "| model | img/s/chip (measured this tree) | mAP@.5 bf16 | mAP@.5:.95 bf16 | mAP@.5 int8+head-excl | dmAP@.5 vs flagship |",
         "|---|---|---|---|---|---|",
     ]
     flagship50 = None
     rows = 0
-    for run, (label, ips_int8, _ips_bf16) in THROUGHPUT.items():
+    for run, label, bkey in RUNS:
         bf = load(root, run, "bf16")
         q = load(root, run, "int8")
         if bf is None:
@@ -61,7 +81,7 @@ def main():
         delta = f"{bf['mAP50'] - flagship50:+.3f}" if flagship50 is not None else "-"
         q50 = f"{q['mAP50']:.3f}" if q else "-"
         lines.append(
-            f"| {label} | {ips_int8} | {bf['mAP50']:.3f} | {bf['mAP']:.3f} | {q50} | {delta} |"
+            f"| {label} | {ips_cell(bkey)} | {bf['mAP50']:.3f} | {bf['mAP']:.3f} | {q50} | {delta} |"
         )
     table = "\n".join(lines)
     if rows == 0:
@@ -71,9 +91,11 @@ def main():
     if args.out:
         Path(args.out).write_text(
             "# Serving-family Pareto (shapes1200, 640px, val.py exact protocol)\n\n"
-            + table + "\n\nThroughput column quoted from PERF.md round-3 measurements "
-            "(int8 best batch); accuracy columns measured by the runs named in "
-            "tools/round4_queue.sh on this image.\n"
+            + table
+            + "\n\nThroughput measured by bench.py on the current tree "
+            "(runs/bench_family.json; b128 int8-or-bf16 best, pipelined "
+            "scalar-fetch protocol); accuracy measured by the round queue's "
+            "val.py runs on this image.\n"
         )
         print(f"\nwritten to {args.out}")
     return 0
